@@ -1,0 +1,160 @@
+package graft.extract
+
+import graft.classify.BlockClassifier
+import graft.html.{Block, Dom, Html5Tokenizer}
+import graft.pdf.PdfParser
+import java.nio.charset.StandardCharsets.UTF_8
+
+/** Byte span into the ORIGINAL payload (BASELINE.json: span offsets). */
+final case class Span(start: Long, end: Long, kind: String)
+
+final case class ExtractResult(text: String, spans: Vector[Span],
+    metrics: Map[String, Long])
+
+/** The extraction kernel — the deterministic replacement of the
+  * reference's model forward pass (GOT/model/GOT_ocr_2_0.py:230-301).
+  * Pure Scala, invoked from `mapPartitions` (SURVEY.md §2.10): one call
+  * per (payload, mode), never throws — malformed payloads are returned
+  * as Left(quarantine-reason), the engine's explicit version of the
+  * reference's broken-image skip (conversation_dataset_qwen.py:226-252).
+  */
+object Extractor {
+
+  /** Oversize guard (spill-awareness: kernel memory is O(doc)). */
+  final val MaxDocBytes: Int = 16 << 20
+  /** Output cap — the analog of the reference's max_new_tokens=4096
+    * generation budget (run_ocr_2.0.py:144), in output chars. */
+  final val MaxOutChars: Int = 1 << 20
+  /** Repeated-block suppression threshold in words — the analog of the
+    * reference's no_repeat_ngram_size=20 decode guard
+    * (run_ocr_2.0.py:142): a block of ≥20 words whose exact text already
+    * appeared in this document is emitted only once. */
+  final val NoRepeatWords: Int = 20
+
+  def payloadKind(bytes: Array[Byte]): String = {
+    if (bytes.isEmpty) "empty"
+    else if (PdfParser.isPdf(bytes)) "pdf"
+    else {
+      // binary sniff: NULs or a high control-byte ratio in the head
+      val n = math.min(bytes.length, 512)
+      var ctrl = 0
+      var i = 0
+      var hasNul = false
+      while (i < n) {
+        val b = bytes(i) & 0xff
+        if (b == 0) hasNul = true
+        if (b < 9 || (b > 13 && b < 32)) ctrl += 1
+        i += 1
+      }
+      if (hasNul || ctrl * 5 > n) "binary" else "html"
+    }
+  }
+
+  def extract(bytes: Array[Byte], mode: ExtractMode): Either[String, ExtractResult] = {
+    try {
+      if (bytes.length > MaxDocBytes) Left("too_large")
+      else payloadKind(bytes) match {
+        case "empty"  => Left("empty")
+        case "binary" => Left("binary_payload")
+        case "pdf"    => Right(extractPdf(bytes))
+        case _        => Right(extractHtml(bytes, mode))
+      }
+    } catch {
+      // never-throw contract: anything unexpected is quarantined
+      case e: Throwable => Left("kernel_error:" + e.getClass.getSimpleName)
+    }
+  }
+
+  private def extractPdf(bytes: Array[Byte]): ExtractResult = {
+    val text0 = PdfParser.extractText(bytes)
+    val text = if (text0.length > MaxOutChars) text0.substring(0, MaxOutChars) else text0
+    ExtractResult(text,
+      if (text.isEmpty) Vector.empty else Vector(Span(0L, bytes.length.toLong, "pdf")),
+      Map("is_pdf" -> 1L, "bytes_in" -> bytes.length.toLong,
+        "out_chars" -> text.length.toLong))
+  }
+
+  private def extractHtml(bytes: Array[Byte], mode: ExtractMode): ExtractResult = {
+    val blocks = Dom.blocks(Html5Tokenizer.tokenize(bytes))
+    val selected: Vector[Block] = mode match {
+      case ExtractMode.Color(color) =>
+        // style-restricted extraction bypasses the density gate: the
+        // user pointed at the region (reference '[red] OCR:').
+        blocks.filter(b => b.text.nonEmpty && !b.inBoilerplateContainer && matchesColor(b, color))
+      case ExtractMode.Box(x1, x2) =>
+        val (from, until) = ExtractMode.byteWindow(bytes.length.toLong, x1, x2)
+        blocks.filter(b => BlockClassifier.keep(b) && b.startByte >= from && b.endByte <= until)
+      case _ =>
+        blocks.filter(BlockClassifier.keep)
+    }
+    val deduped = suppressRepeats(selected)
+    val format = mode == ExtractMode.Format
+    val rendered = deduped.map(b => renderBlock(b, format))
+    var text = rendered.mkString("\n")
+    if (format) text = repairLeftRight(text)
+    if (text.length > MaxOutChars) text = text.substring(0, MaxOutChars)
+    val spans = deduped.map(b => Span(b.startByte, b.endByte, b.kind))
+    ExtractResult(text, spans,
+      BlockClassifier.metrics(blocks) ++ Map(
+        "is_pdf" -> 0L,
+        "bytes_in" -> bytes.length.toLong,
+        "blocks_total" -> blocks.length.toLong,
+        "out_chars" -> text.length.toLong))
+  }
+
+  private def matchesColor(b: Block, color: String): Boolean =
+    b.cls == color || b.cls.split(' ').contains(color) ||
+      b.style.replace(" ", "").contains("color:" + color)
+
+  /** O4: emit an exact-duplicate long block only once. */
+  def suppressRepeats(blocks: Vector[Block]): Vector[Block] = {
+    val seen = scala.collection.mutable.HashSet.empty[String]
+    blocks.filter { b =>
+      if (b.words < NoRepeatWords) true
+      else seen.add(b.text)
+    }
+  }
+
+  /** Structure-preserving rendering (Format mode): headings get markdown
+    * marks, list items get dashes, tables render as \begin{tabular} so
+    * the reference's category-split regexes (eval_ocr.py:39-41: inline
+    * \(..\), display \[..\], \begin{tabular}..\end{tabular}) classify
+    * the output. */
+  def renderBlock(b: Block, format: Boolean): String = {
+    if (!format) b.text
+    else if (b.headingLevel > 0) ("#" * b.headingLevel) + " " + b.text
+    else if (b.kind == "li") "- " + b.text
+    else if (b.kind == "table" && b.cells.nonEmpty) renderTabular(b.cells)
+    else if (b.kind == "blockquote") "> " + b.text
+    else b.text
+  }
+
+  def renderTabular(cells: Vector[Vector[String]]): String = {
+    val ncols = cells.map(_.length).max
+    val spec = "c" * ncols
+    val rows = cells.map(r => r.mkString(" & ") + " \\\\").mkString("\n")
+    s"\\begin{tabular}{$spec}\n$rows\n\\end{tabular}"
+  }
+
+  /** Exact port of the reference's unbalanced \left/\right repair
+    * (run_ocr_2.0.py:180-184): when the counts of literal "\left" and
+    * "\right" differ, strip the delimiter forms pairwise. */
+  def repairLeftRight(s: String): String = {
+    val leftNum = countOccurrences(s, "\\left")
+    val rightNum = countOccurrences(s, "\\right")
+    if (leftNum == rightNum) s
+    else s.replace("\\left(", "(").replace("\\right)", ")")
+      .replace("\\left[", "[").replace("\\right]", "]")
+      .replace("\\left{", "{").replace("\\right}", "}")
+      .replace("\\left|", "|").replace("\\right|", "|")
+      .replace("\\left.", ".").replace("\\right.", ".")
+  }
+
+  private[extract] def countOccurrences(s: String, sub: String): Int = {
+    var c = 0; var i = s.indexOf(sub)
+    while (i >= 0) { c += 1; i = s.indexOf(sub, i + sub.length) }
+    c
+  }
+
+  def textBytes(r: ExtractResult): Array[Byte] = r.text.getBytes(UTF_8)
+}

@@ -1,0 +1,241 @@
+package graft.html
+
+import scala.collection.mutable.ArrayBuffer
+
+/** A flat content block — the unit the density classifier scores.
+  *
+  * `text` is the normalized block text (the single normalization point,
+  * SURVEY.md §7 hard-part (b)): entities decoded (tokenizer), whitespace
+  * runs collapsed to one space, `<br>` → '\n', trimmed. `<pre>` blocks
+  * skip collapsing (one leading newline stripped, HTML5 rule).
+  *
+  * `startByte`/`endByte` span the raw source region of the block's text
+  * (first to last non-whitespace text run); `elemStartByte`/`elemEndByte`
+  * span the whole element including its tags.
+  */
+final case class Block(
+    kind: String,
+    text: String,
+    cells: Vector[Vector[String]],
+    cls: String,
+    style: String,
+    linkChars: Int,
+    totalChars: Int,
+    inBoilerplateContainer: Boolean,
+    startByte: Long,
+    endByte: Long,
+    elemStartByte: Long,
+    elemEndByte: Long) {
+  lazy val words: Int = if (text.isEmpty) 0 else {
+    var c = 1; var i = 0
+    while (i < text.length) { if (text.charAt(i) == ' ' || text.charAt(i) == '\n') c += 1; i += 1 }
+    c
+  }
+  def linkDensity: Double =
+    if (totalChars == 0) 0.0 else linkChars.toDouble / totalChars.toDouble
+  def headingLevel: Int =
+    if (kind.length == 2 && kind.charAt(0) == 'h' && kind.charAt(1).isDigit) kind.charAt(1) - '0' else 0
+}
+
+/** Builds the flat block list from the token stream — the lightweight
+  * "DOM" (SURVEY.md §7 module `html/Dom.scala`). No tree is materialized;
+  * a tag stack tracks ancestry, which is all the classifier needs.
+  */
+object Dom {
+  /** Elements that start a new block. */
+  private val blockTags = Set("p", "h1", "h2", "h3", "h4", "h5", "h6", "li",
+    "pre", "blockquote", "div", "section", "article", "main", "nav",
+    "header", "footer", "aside", "ul", "ol", "dl", "dt", "dd", "figure",
+    "figcaption", "caption", "body", "tr", "hr", "address", "details", "summary")
+  /** Elements whose entire content is suppressed (never content). */
+  private val suppressTags = Set("script", "style", "noscript", "template",
+    "svg", "head", "title", "textarea", "select", "button", "iframe",
+    "object", "xmp", "noembed", "noframes")
+  /** Semantic-HTML5 boilerplate containers (classifier hard-drop). */
+  private val boilerContainers = Set("nav", "footer", "aside", "header", "form")
+
+  private final val BrSentinel = '\u0001'
+
+  /** Collapse [ \t\n\r\f]+ → ' ', honor BR sentinels as hard newlines. */
+  private[graft] def normalize(raw: String): String = {
+    val parts = raw.split(BrSentinel.toString, -1)
+    val norm = parts.map { part =>
+      val b = new StringBuilder(part.length)
+      var ws = false
+      var i = 0
+      while (i < part.length) {
+        val c = part.charAt(i)
+        if (c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f') ws = true
+        else {
+          if (ws && b.nonEmpty) b.append(' ')
+          ws = false
+          b.append(c)
+        }
+        i += 1
+      }
+      b.toString
+    }
+    val joined = norm.mkString("\n")
+    // strip leading/trailing hard newlines from dangling <br>
+    joined.replaceAll("^\n+", "").replaceAll("\n+$", "")
+  }
+
+  def blocks(tokens: Vector[HtmlToken]): Vector[Block] = {
+    val out = new ArrayBuffer[Block]
+
+    var suppressDepth = 0
+    var boilerDepth = 0
+    var linkDepth = 0
+    val stack = new ArrayBuffer[String]
+
+    // current block accumulation
+    var curKind = "body"
+    var curCls = ""
+    var curStyle = ""
+    var curElemStart = 0L
+    var curElemEnd = 0L
+    val curText = new StringBuilder
+    var curLink = 0
+    var spanStart = -1L
+    var spanEnd = -1L
+    var curPre = false
+
+    // table accumulation
+    var tableDepth = 0
+    var tblCls = ""
+    var tblElemStart = 0L
+    val tblRows = new ArrayBuffer[Vector[String]]
+    val tblRow = new ArrayBuffer[String]
+    val tblCell = new StringBuilder
+    var inCell = false
+    var tblSpanStart = -1L
+    var tblSpanEnd = -1L
+
+    def flush(elemEnd: Long): Unit = {
+      val raw = curText.toString
+      val text =
+        if (curPre) {
+          val t = if (raw.startsWith("\n")) raw.substring(1) else raw
+          t.replace(BrSentinel, '\n')
+        } else normalize(raw)
+      if (text.nonEmpty) {
+        out += Block(curKind, text, Vector.empty, curCls, curStyle, curLink,
+          text.length, boilerDepth > 0, spanStart, spanEnd, curElemStart,
+          if (elemEnd > 0) elemEnd else spanEnd)
+      }
+      curText.clear(); curLink = 0; spanStart = -1L; spanEnd = -1L
+    }
+
+    def startBlock(kind: String, cls: String, style: String, elemStart: Long): Unit = {
+      curKind = kind; curCls = cls; curStyle = style
+      curElemStart = elemStart; curElemEnd = 0L
+      curPre = kind == "pre"
+    }
+
+    def hasNonWs(s: String): Boolean = {
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c != ' ' && c != '\t' && c != '\n' && c != '\r' && c != '\f') return true
+        i += 1
+      }
+      false
+    }
+
+    tokens.foreach {
+      case t: TagOpen =>
+        val name = t.name
+        if (suppressTags.contains(name)) {
+          if (!t.selfClosing && !Html5Tokenizer.voidElements.contains(name)) suppressDepth += 1
+        } else if (suppressDepth == 0) {
+          if (name == "table") {
+            if (tableDepth == 0) {
+              flush(0L)
+              tblCls = t.attr("class").getOrElse("")
+              tblElemStart = t.startByte.toLong
+              tblRows.clear(); tblRow.clear(); tblCell.clear(); inCell = false
+              tblSpanStart = -1L; tblSpanEnd = -1L
+            }
+            tableDepth += 1
+          } else if (tableDepth > 0) {
+            name match {
+              case "td" | "th" => inCell = true; tblCell.clear()
+              case "tr"        => tblRow.clear()
+              case "br"        => if (inCell) tblCell.append(' ')
+              case _           => ()
+            }
+          } else if (name == "br") {
+            curText.append(BrSentinel)
+          } else if (name == "a") {
+            linkDepth += 1
+            // links never nest in practice; guard runaway depth
+            if (linkDepth > 32) linkDepth = 32
+          } else if (blockTags.contains(name)) {
+            flush(0L)
+            if (boilerContainers.contains(name)) boilerDepth += 1
+            stack += name
+            startBlock(name, t.attr("class").getOrElse(""), t.attr("style").getOrElse(""), t.startByte.toLong)
+          }
+          // other inline tags (b, i, em, span, code, …) are transparent
+        }
+      case t: TagClose =>
+        val name = t.name
+        if (suppressTags.contains(name)) {
+          if (suppressDepth > 0) suppressDepth -= 1
+        } else if (suppressDepth == 0) {
+          if (name == "table") {
+            if (tableDepth > 0) tableDepth -= 1
+            if (tableDepth == 0) {
+              if (tblRow.nonEmpty) { tblRows += tblRow.toVector; tblRow.clear() }
+              if (tblRows.nonEmpty) {
+                val rows = tblRows.toVector
+                val text = rows.map(_.mkString(" ")).mkString("\n")
+                val total = text.length
+                out += Block("table", text, rows, tblCls, "", 0, total, boilerDepth > 0,
+                  tblSpanStart, tblSpanEnd, tblElemStart, t.endByte.toLong)
+              }
+              startBlock(if (stack.nonEmpty) stack.last else "body", "", "", t.endByte.toLong)
+            }
+          } else if (tableDepth > 0) {
+            name match {
+              case "td" | "th" =>
+                if (inCell) { tblRow += Dom.normalize(tblCell.toString); inCell = false }
+              case "tr" =>
+                if (tblRow.nonEmpty) { tblRows += tblRow.toVector; tblRow.clear() }
+              case _ => ()
+            }
+          } else if (name == "a") {
+            if (linkDepth > 0) linkDepth -= 1
+          } else if (blockTags.contains(name)) {
+            flush(t.endByte.toLong)
+            if (boilerContainers.contains(name) && boilerDepth > 0) boilerDepth -= 1
+            val idx = stack.lastIndexOf(name)
+            if (idx >= 0) stack.remove(idx, stack.length - idx)
+            startBlock(if (stack.nonEmpty) stack.last else "body", "", "", t.endByte.toLong)
+          }
+        }
+      case t: TextRun =>
+        if (suppressDepth == 0) {
+          if (tableDepth > 0) {
+            if (inCell) {
+              tblCell.append(t.text)
+              if (hasNonWs(t.text)) {
+                if (tblSpanStart < 0) tblSpanStart = t.startByte.toLong
+                tblSpanEnd = t.endByte.toLong
+              }
+            }
+          } else {
+            curText.append(t.text)
+            if (linkDepth > 0) curLink += t.text.length
+            if (hasNonWs(t.text)) {
+              if (spanStart < 0) spanStart = t.startByte.toLong
+              spanEnd = t.endByte.toLong
+            }
+          }
+        }
+      case _ => () // comments, doctype
+    }
+    flush(0L)
+    out.toVector
+  }
+}

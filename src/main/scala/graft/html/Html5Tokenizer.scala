@@ -1,0 +1,342 @@
+package graft.html
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Tokens carry the BYTE span [startByte, endByte) they were decoded from,
+  * so downstream span offsets always index into the original payload
+  * (BASELINE.json: "per-url extracted text and span offsets").
+  */
+sealed trait HtmlToken { def startByte: Int; def endByte: Int }
+final case class TagOpen(name: String, attrs: List[(String, String)],
+    selfClosing: Boolean, startByte: Int, endByte: Int) extends HtmlToken {
+  def attr(k: String): Option[String] = attrs.collectFirst { case (n, v) if n == k => v }
+}
+final case class TagClose(name: String, startByte: Int, endByte: Int) extends HtmlToken
+/** `text` is entity-decoded; the byte span covers the raw (encoded) run. */
+final case class TextRun(text: String, startByte: Int, endByte: Int) extends HtmlToken
+final case class CommentTok(text: String, startByte: Int, endByte: Int) extends HtmlToken
+final case class DoctypeTok(text: String, startByte: Int, endByte: Int) extends HtmlToken
+
+/** Decoded characters plus a char-index → byte-offset map (length
+  * chars+1; last entry = total byte length). */
+final class Decoded(val chars: Array[Char], val byteOff: Array[Int])
+
+/** From-scratch HTML5-style tokenizer (data / tag / attribute / comment /
+  * doctype / RAWTEXT / RCDATA / CDATA states), lenient on hostile bytes:
+  * never throws, unterminated constructs are flushed at EOF.
+  *
+  * Replaces the reference's image-decode front end
+  * (GOT/demo/run_ocr_2.0.py:35-41) with the web-payload analog mandated by
+  * BASELINE.json (streaming HTML5 tokenizer over Common-Crawl pages).
+  */
+object Html5Tokenizer {
+
+  /** Elements whose content is raw text (no entities, no nested tags). */
+  private val rawText = Set("script", "style", "xmp", "iframe", "noembed", "noframes")
+  /** Elements whose content is text with entities but no nested tags. */
+  private val rcdata = Set("textarea", "title")
+  val voidElements: Set[String] = Set("area", "base", "br", "col", "embed",
+    "hr", "img", "input", "link", "meta", "param", "source", "track", "wbr")
+
+  /** Sniff charset from a `charset=` occurrence in the head bytes;
+    * defaults to UTF-8. Supported: utf-8, iso-8859-1/latin-1, windows-1252
+    * (decoded as latin-1 superset; the 0x80-0x9f block maps via cp1252). */
+  def sniffCharset(bytes: Array[Byte]): String = {
+    val n = math.min(bytes.length, 2048)
+    val head = new String(bytes, 0, n, java.nio.charset.StandardCharsets.ISO_8859_1).toLowerCase
+    val i = head.indexOf("charset=")
+    if (i < 0) return "utf-8"
+    var j = i + 8
+    if (j < head.length && (head.charAt(j) == '"' || head.charAt(j) == '\'')) j += 1
+    val start = j
+    while (j < head.length && (head.charAt(j).isLetterOrDigit || head.charAt(j) == '-' || head.charAt(j) == '_')) j += 1
+    head.substring(start, j) match {
+      case "iso-8859-1" | "latin-1" | "latin1" => "iso-8859-1"
+      case "windows-1252" | "cp1252"           => "windows-1252"
+      case _                                   => "utf-8"
+    }
+  }
+
+  private val cp1252High: Array[Char] = Array(
+    '€', '', '‚', 'ƒ', '„', '…', '†', '‡',
+    'ˆ', '‰', 'Š', '‹', 'Œ', '', 'Ž', '',
+    '', '‘', '’', '“', '”', '•', '–', '—',
+    '˜', '™', 'š', '›', 'œ', '', 'ž', 'Ÿ')
+
+  /** Lenient decode with byte-offset tracking. Invalid UTF-8 sequences
+    * become U+FFFD advancing one byte (never throws). */
+  def decode(bytes: Array[Byte], charset: String): Decoded = {
+    val n = bytes.length
+    val chars = new ArrayBuffer[Char](n)
+    val offs = new ArrayBuffer[Int](n + 1)
+    charset match {
+      case "iso-8859-1" | "windows-1252" =>
+        val win = charset == "windows-1252"
+        var i = 0
+        while (i < n) {
+          val b = bytes(i) & 0xff
+          val c = if (win && b >= 0x80 && b <= 0x9f) cp1252High(b - 0x80) else b.toChar
+          chars += c; offs += i; i += 1
+        }
+      case _ => // utf-8
+        var i = 0
+        while (i < n) {
+          val b0 = bytes(i) & 0xff
+          if (b0 < 0x80) { chars += b0.toChar; offs += i; i += 1 }
+          else if ((b0 & 0xe0) == 0xc0 && i + 1 < n && (bytes(i + 1) & 0xc0) == 0x80) {
+            val cp = ((b0 & 0x1f) << 6) | (bytes(i + 1) & 0x3f)
+            if (cp >= 0x80) { chars += cp.toChar; offs += i; i += 2 }
+            else { chars += '�'; offs += i; i += 1 } // overlong
+          } else if ((b0 & 0xf0) == 0xe0 && i + 2 < n &&
+              (bytes(i + 1) & 0xc0) == 0x80 && (bytes(i + 2) & 0xc0) == 0x80) {
+            val cp = ((b0 & 0x0f) << 12) | ((bytes(i + 1) & 0x3f) << 6) | (bytes(i + 2) & 0x3f)
+            if (cp >= 0x800 && !(cp >= 0xd800 && cp <= 0xdfff)) { chars += cp.toChar; offs += i; i += 3 }
+            else { chars += '�'; offs += i; i += 1 }
+          } else if ((b0 & 0xf8) == 0xf0 && i + 3 < n &&
+              (bytes(i + 1) & 0xc0) == 0x80 && (bytes(i + 2) & 0xc0) == 0x80 && (bytes(i + 3) & 0xc0) == 0x80) {
+            val cp = ((b0 & 0x07) << 18) | ((bytes(i + 1) & 0x3f) << 12) |
+              ((bytes(i + 2) & 0x3f) << 6) | (bytes(i + 3) & 0x3f)
+            if (cp >= 0x10000 && cp <= 0x10ffff) {
+              val pair = Character.toChars(cp)
+              chars += pair(0); offs += i
+              chars += pair(1); offs += i
+              i += 4
+            } else { chars += '�'; offs += i; i += 1 }
+          } else { chars += '�'; offs += i; i += 1 }
+        }
+    }
+    offs += n
+    new Decoded(chars.toArray, offs.toArray)
+  }
+
+  def tokenize(bytes: Array[Byte]): Vector[HtmlToken] = {
+    val d = decode(bytes, sniffCharset(bytes))
+    tokenizeDecoded(d)
+  }
+
+  def tokenizeDecoded(d: Decoded): Vector[HtmlToken] = {
+    val s = d.chars
+    val off = d.byteOff
+    val n = s.length
+    val out = Vector.newBuilder[HtmlToken]
+
+    // pending text accumulation
+    val text = new StringBuilder
+    var textStart = -1 // char index of first char in the run
+    var textEnd = -1   // char index AFTER the last consumed char
+    @inline def flushText(): Unit = {
+      if (text.nonEmpty) {
+        out += TextRun(text.toString, off(textStart), off(textEnd))
+        text.clear()
+      }
+      textStart = -1; textEnd = -1
+    }
+    @inline def addText(str: String, cs: Int, ce: Int): Unit = {
+      if (text.isEmpty) textStart = cs
+      text.append(str)
+      textEnd = ce
+    }
+
+    var i = 0
+    var rawMode: String = null // element name whose raw content we are in
+    var rcdataMode = false
+
+    @inline def lowerAt(pos: Int, lit: String): Boolean = {
+      if (pos + lit.length > n) return false
+      var k = 0
+      while (k < lit.length) {
+        if (Character.toLowerCase(s(pos + k)) != lit.charAt(k)) return false
+        k += 1
+      }
+      true
+    }
+
+    while (i < n) {
+      if (rawMode != null) {
+        // consume until matching </name
+        val closeLit = "</" + rawMode
+        var j = i
+        var found = -1
+        while (found < 0 && j < n) {
+          if (s(j) == '<' && lowerAt(j, closeLit)) {
+            val after = j + closeLit.length
+            if (after >= n || s(after) == '>' || Character.isWhitespace(s(after)) || s(after) == '/') found = j
+            else j += 1
+          } else j += 1
+        }
+        val end = if (found >= 0) found else n
+        if (end > i) {
+          if (rcdataMode) {
+            // entity-decode RCDATA
+            var k = i
+            while (k < end) {
+              val c = s(k)
+              if (c == '&') {
+                val (dec, len) = Entities.decodeAt(new String(s, i, end - i), k - i)
+                addText(dec, k, k + len); k += len
+              } else { addText(String.valueOf(c), k, k + 1); k += 1 }
+            }
+          } else {
+            addText(new String(s, i, end - i), i, end)
+          }
+        }
+        flushText()
+        if (found >= 0) {
+          // consume the close tag
+          var k = found + closeLit.length
+          while (k < n && s(k) != '>') k += 1
+          val endByteIdx = if (k < n) k + 1 else n
+          out += TagClose(rawMode, off(found), off(endByteIdx))
+          i = endByteIdx
+        } else i = n
+        rawMode = null; rcdataMode = false
+      } else {
+        val c = s(i)
+        if (c == '<') {
+          if (i + 1 >= n) { addText("<", i, i + 1); i += 1 }
+          else {
+            val c1 = s(i + 1)
+            if (c1 == '!') {
+              flushText()
+              if (lowerAt(i, "<!--")) {
+                val close = indexOfLit(s, i + 4, "-->")
+                val end = if (close >= 0) close + 3 else n
+                val body = new String(s, i + 4, math.max(0, (if (close >= 0) close else n) - (i + 4)))
+                out += CommentTok(body, off(i), off(end))
+                i = end
+              } else if (lowerAt(i, "<![cdata[")) {
+                val close = indexOfLit(s, i + 9, "]]>")
+                val end = if (close >= 0) close + 3 else n
+                val body = new String(s, i + 9, math.max(0, (if (close >= 0) close else n) - (i + 9)))
+                addText(body, i, end); flushText()
+                i = end
+              } else { // doctype or bogus decl
+                var j = i + 2
+                while (j < n && s(j) != '>') j += 1
+                val end = if (j < n) j + 1 else n
+                out += DoctypeTok(new String(s, i + 2, math.max(0, j - (i + 2))), off(i), off(end))
+                i = end
+              }
+            } else if (c1 == '?') { // bogus comment (processing instruction)
+              flushText()
+              var j = i + 2
+              while (j < n && s(j) != '>') j += 1
+              val end = if (j < n) j + 1 else n
+              out += CommentTok(new String(s, i + 2, math.max(0, j - (i + 2))), off(i), off(end))
+              i = end
+            } else if (c1 == '/') {
+              if (i + 2 < n && Character.isLetter(s(i + 2))) {
+                flushText()
+                var j = i + 2
+                while (j < n && s(j) != '>') j += 1
+                val end = if (j < n) j + 1 else n
+                val raw = new String(s, i + 2, math.max(0, j - (i + 2)))
+                val name = raw.takeWhile(ch => !Character.isWhitespace(ch)).toLowerCase
+                out += TagClose(name, off(i), off(end))
+                i = end
+              } else { addText("<", i, i + 1); i += 1 } // "</3" is text
+            } else if (Character.isLetter(c1)) {
+              flushText()
+              val (tok, next) = parseStartTag(s, off, i)
+              out += tok
+              i = next
+              if (!tok.selfClosing) {
+                if (rawText.contains(tok.name)) { rawMode = tok.name; rcdataMode = false }
+                else if (rcdata.contains(tok.name)) { rawMode = tok.name; rcdataMode = true }
+              }
+            } else { addText("<", i, i + 1); i += 1 }
+          }
+        } else if (c == '&') {
+          val (dec, len) = Entities.decodeAt(new ArrayCharSeq(s), i)
+          addText(dec, i, i + len)
+          i += len
+        } else {
+          addText(String.valueOf(c), i, i + 1)
+          i += 1
+        }
+      }
+    }
+    flushText()
+    out.result()
+  }
+
+  private def indexOfLit(s: Array[Char], from: Int, lit: String): Int = {
+    var i = from
+    val n = s.length
+    while (i + lit.length <= n) {
+      var k = 0
+      var ok = true
+      while (ok && k < lit.length) { if (s(i + k) != lit.charAt(k)) ok = false; k += 1 }
+      if (ok) return i
+      i += 1
+    }
+    -1
+  }
+
+  /** Parse `<name attr=... >` starting at `i` (s(i)=='<'). Returns the
+    * token and the char index after '>'. Lenient at EOF. */
+  private def parseStartTag(s: Array[Char], off: Array[Int], i0: Int): (TagOpen, Int) = {
+    val n = s.length
+    var i = i0 + 1
+    val nameStart = i
+    while (i < n && (Character.isLetterOrDigit(s(i)) || s(i) == '-' || s(i) == ':')) i += 1
+    val name = new String(s, nameStart, i - nameStart).toLowerCase
+    val attrs = List.newBuilder[(String, String)]
+    var selfClosing = false
+    var done = false
+    while (!done && i < n) {
+      while (i < n && Character.isWhitespace(s(i))) i += 1
+      if (i >= n) done = true
+      else if (s(i) == '>') { i += 1; done = true }
+      else if (s(i) == '/') {
+        i += 1
+        if (i < n && s(i) == '>') { selfClosing = true; i += 1; done = true }
+      } else {
+        // attribute name
+        val as = i
+        while (i < n && !Character.isWhitespace(s(i)) && s(i) != '=' && s(i) != '>' && s(i) != '/') i += 1
+        val aname = new String(s, as, i - as).toLowerCase
+        while (i < n && Character.isWhitespace(s(i))) i += 1
+        var avalue = ""
+        if (i < n && s(i) == '=') {
+          i += 1
+          while (i < n && Character.isWhitespace(s(i))) i += 1
+          if (i < n && (s(i) == '"' || s(i) == '\'')) {
+            val q = s(i); i += 1
+            val vs = i
+            while (i < n && s(i) != q) i += 1
+            avalue = decodeEntities(new String(s, vs, i - vs))
+            if (i < n) i += 1
+          } else {
+            val vs = i
+            while (i < n && !Character.isWhitespace(s(i)) && s(i) != '>') i += 1
+            avalue = decodeEntities(new String(s, vs, i - vs))
+          }
+        }
+        if (aname.nonEmpty) attrs += (aname -> avalue)
+      }
+    }
+    val endCharIdx = math.min(i, n)
+    (TagOpen(name, attrs.result(), selfClosing, off(i0), off(endCharIdx)), i)
+  }
+
+  def decodeEntities(v: String): String = {
+    if (v.indexOf('&') < 0) return v
+    val b = new StringBuilder(v.length)
+    var i = 0
+    while (i < v.length) {
+      if (v.charAt(i) == '&') {
+        val (dec, len) = Entities.decodeAt(v, i)
+        b.append(dec); i += len
+      } else { b.append(v.charAt(i)); i += 1 }
+    }
+    b.toString
+  }
+
+  private final class ArrayCharSeq(a: Array[Char]) extends CharSequence {
+    def length: Int = a.length
+    def charAt(i: Int): Char = a(i)
+    def subSequence(s: Int, e: Int): CharSequence = new String(a, s, e - s)
+    override def toString: String = new String(a)
+  }
+}

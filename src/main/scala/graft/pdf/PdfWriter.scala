@@ -1,0 +1,92 @@
+package graft.pdf
+
+import java.io.ByteArrayOutputStream
+import java.nio.charset.StandardCharsets.ISO_8859_1
+import java.util.zip.Deflater
+
+/** Deterministic minimal PDF writer — produces the synthetic `%PDF-`
+  * payloads of the fixture corpus (FIXTURES.md §3 "synthetic PDF
+  * payload"). One page, Helvetica, a single Flate-compressed content
+  * stream. The emitted operator mix (Td, TD, T-star, Tj, TJ, TL) deliberately
+  * covers every text op the parser supports.
+  */
+object PdfWriter {
+
+  def escapeString(s: String): String = {
+    val b = new StringBuilder(s.length + 4)
+    s.foreach {
+      case '('  => b.append("\\(")
+      case ')'  => b.append("\\)")
+      case '\\' => b.append("\\\\")
+      case c    => b.append(c)
+    }
+    b.toString
+  }
+
+  /** Build the content stream for the given text lines. Operator choice
+    * rotates by line index so fixtures exercise Td, TD, T* and TJ. */
+  def contentStream(lines: Seq[String]): String = {
+    val b = new StringBuilder
+    b.append("BT\n/F1 12 Tf\n14 TL\n72 720 Td\n")
+    lines.zipWithIndex.foreach { case (line, i) =>
+      val move =
+        if (i == 0) ""
+        else if (i % 3 == 1) "0 -14 TD\n"
+        else if (i % 3 == 2) "T*\n"
+        else "0 -14 Td\n"
+      b.append(move)
+      if (i % 4 == 3 && line.length > 4) {
+        val mid = line.length / 2
+        b.append("[(").append(escapeString(line.substring(0, mid)))
+          .append(") -250 (").append(escapeString(line.substring(mid)))
+          .append(")] TJ\n")
+      } else {
+        b.append("(").append(escapeString(line)).append(") Tj\n")
+      }
+    }
+    b.append("ET\n")
+    b.toString
+  }
+
+  private def deflate(data: Array[Byte]): Array[Byte] = {
+    val d = new Deflater(Deflater.DEFAULT_COMPRESSION)
+    d.setInput(data); d.finish()
+    val out = new ByteArrayOutputStream(data.length / 2 + 64)
+    val buf = new Array[Byte](4096)
+    while (!d.finished()) {
+      val n = d.deflate(buf)
+      out.write(buf, 0, n)
+    }
+    d.end()
+    out.toByteArray
+  }
+
+  /** Full single-page PDF with a correct xref table. Lines must be
+    * ISO-8859-1-representable (the generator keeps PDFs ASCII). */
+  def make(lines: Seq[String]): Array[Byte] = {
+    val content = deflate(contentStream(lines).getBytes(ISO_8859_1))
+    val out = new ByteArrayOutputStream(content.length + 1024)
+    def w(s: String): Unit = out.write(s.getBytes(ISO_8859_1))
+    val offsets = new Array[Int](6)
+
+    w("%PDF-1.4\n%âãÏÓ\n")
+    offsets(1) = out.size()
+    w("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    offsets(2) = out.size()
+    w("2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n")
+    offsets(3) = out.size()
+    w("3 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+      "/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>\nendobj\n")
+    offsets(4) = out.size()
+    w(s"4 0 obj\n<< /Length ${content.length} /Filter /FlateDecode >>\nstream\n")
+    out.write(content, 0, content.length)
+    w("\nendstream\nendobj\n")
+    offsets(5) = out.size()
+    w("5 0 obj\n<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>\nendobj\n")
+    val xrefAt = out.size()
+    w("xref\n0 6\n0000000000 65535 f \n")
+    (1 to 5).foreach(i => w(f"${offsets(i)}%010d 00000 n \n"))
+    w(s"trailer\n<< /Size 6 /Root 1 0 R >>\nstartxref\n$xrefAt\n%%EOF\n")
+    out.toByteArray
+  }
+}

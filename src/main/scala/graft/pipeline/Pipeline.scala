@@ -1,0 +1,153 @@
+package graft.pipeline
+
+import graft.extract.{ExtractMode, Extractor, Span}
+import graft.html.{Dom, Html5Tokenizer}
+import graft.classify.BlockClassifier
+import graft.extract.Chunker
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One extracted document (SURVEY.md §1.2 answer-record mapping).
+  * `status` is "ok" or a quarantine reason — failures are routed to a
+  * side output, never silently substituted (the engine's fix of the
+  * reference's fallback-to-sample-0, conversation_dataset_qwen.py:226-252). */
+final case class ExtractedDoc(url: String, warc_ts: java.sql.Timestamp,
+    mode: String, text: String, spans: Seq[Span], status: String,
+    metrics: Map[String, Long])
+
+final case class ChunkRow(url: String, warc_ts: java.sql.Timestamp,
+    chunk_idx: Int, n_chunks: Int, text: String, thumbnail: String)
+
+/** The distributed extraction pipeline (SURVEY.md §3 entry-point
+  * mappings): narrow select (column-pruning help — Catalyst cannot see
+  * inside the kernel closure) → salted url-host repartition (explicit
+  * crawl-domain skew defuse, BASELINE.json) → mapPartitions(kernel) →
+  * optional grouped reassembly.
+  */
+object Pipeline {
+
+  /** Salt fan-out per host: one hot Zipf-head domain spreads over this
+    * many partitions (SURVEY.md §4 custom rule #1). */
+  final val Salts = 8
+
+  /** Salted repartition by url-host hash. Kept as a reusable stage so
+    * every entry point shares the same skew policy. */
+  def saltedByHost(df: DataFrame, numPartitions: Int): DataFrame =
+    df.repartition(numPartitions,
+      xxhash64(parse_url(col("url"), lit("HOST"))),
+      pmod(xxhash64(col("url")), lit(Salts)))
+
+  private def shufflePartitions(spark: SparkSession): Int =
+    spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+
+  /** Single-mode extraction over a `pages`-shaped DataFrame. */
+  def extract(pages: DataFrame, mode: ExtractMode,
+      numPartitions: Int = 0, repartitionByHost: Boolean = true): Dataset[ExtractedDoc] = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    val p = if (numPartitions > 0) numPartitions else shufflePartitions(spark)
+    val narrowed0 = pages.select(col("url"), col("warc_ts"), col("html"))
+    val narrowed = if (repartitionByHost) saltedByHost(narrowed0, p) else narrowed0
+    val modeName = mode.name
+    narrowed.as[(String, java.sql.Timestamp, Array[Byte])].mapPartitions { it =>
+      it.map { case (url, ts, html) => extractOne(url, ts, html, mode, modeName) }
+    }
+  }
+
+  /** Per-row-mode extraction: input carries (url, warc_ts, html, mode,
+    * mode_args) — the golden-eval shape where each fixture names its own
+    * query mode (reference gt entries carry their prompt). */
+  def extractWithModes(rows: DataFrame, numPartitions: Int = 0): Dataset[ExtractedDoc] = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    val p = if (numPartitions > 0) numPartitions else shufflePartitions(spark)
+    val narrowed = saltedByHost(
+      rows.select(col("url"), col("warc_ts"), col("html"), col("mode"), col("mode_args")), p)
+    narrowed.as[(String, java.sql.Timestamp, Array[Byte], String, String)].mapPartitions { it =>
+      it.map { case (url, ts, html, modeStr, args) =>
+        val mode = ExtractMode.parse(modeStr, args)
+        extractOne(url, ts, html, mode, modeStr)
+      }
+    }
+  }
+
+  private def extractOne(url: String, ts: java.sql.Timestamp, html: Array[Byte],
+      mode: ExtractMode, modeName: String): ExtractedDoc =
+    Extractor.extract(html, mode) match {
+      case Right(res) =>
+        ExtractedDoc(url, ts, modeName, res.text, res.spans, "ok", res.metrics)
+      case Left(reason) =>
+        ExtractedDoc(url, ts, modeName, "", Seq.empty, reason,
+          Map("bytes_in" -> (if (html == null) 0L else html.length.toLong)))
+    }
+
+  /** Quarantine side output (F4): never silently dropped. */
+  def errors(extracted: Dataset[ExtractedDoc]): Dataset[ExtractedDoc] =
+    extracted.filter(_.status != "ok")
+  def ok(extracted: Dataset[ExtractedDoc]): Dataset[ExtractedDoc] =
+    extracted.filter(_.status == "ok")
+
+  /** Multi-page reassembly (S4/O1): part rows `base?part=N` → ordered
+    * group-concat. The reference's natsorted page glob becomes explicit
+    * part-index ordering under `sort_array` — deterministic under
+    * shuffle (SURVEY.md hard-part (d)). */
+  def reassembleMultiPage(extracted: DataFrame): DataFrame = {
+    extracted
+      .where(col("url").contains("?part="))
+      .withColumn("base", substring_index(col("url"), "?part=", 1))
+      .withColumn("part", regexp_extract(col("url"), "\\?part=(\\d+)", 1).cast("int"))
+      .groupBy(col("base").as("url"))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("part"), col("text")))),
+            x => x.getField("text")),
+          "\n").as("text"),
+        count(lit(1)).as("n_parts"))
+  }
+
+  /** Multi-crop pipeline (entry point 2, SURVEY.md §3): kernel chunks
+    * each document into ≤6 ordered segments (+ thumbnail), segments
+    * shuffle independently, reassembly is an ordered concat — the
+    * sequence-concat of GOT_ocr_2_0.py:151 as a relational group-agg.
+    * Output text is identical to Plain extraction (identity property). */
+  def extractChunked(pages: DataFrame, numPartitions: Int = 0): DataFrame = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    val p = if (numPartitions > 0) numPartitions else shufflePartitions(spark)
+    val narrowed = saltedByHost(pages.select(col("url"), col("warc_ts"), col("html")), p)
+    val chunks = narrowed.as[(String, java.sql.Timestamp, Array[Byte])].flatMap {
+      case (url, ts, html) => chunkOne(url, ts, html)
+    }
+    chunks.groupBy(col("url"))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("chunk_idx"), col("text")))),
+            x => x.getField("text")),
+          "\n").as("text"),
+        max(col("n_chunks")).as("n_chunks"),
+        first(col("thumbnail")).as("thumbnail"))
+  }
+
+  private def chunkOne(url: String, ts: java.sql.Timestamp,
+      html: Array[Byte]): Seq[ChunkRow] = {
+    try {
+      Extractor.payloadKind(html) match {
+        case "pdf" =>
+          val text = graft.pdf.PdfParser.extractText(html)
+          Seq(ChunkRow(url, ts, 0, 1, text,
+            text.substring(0, math.min(text.length, Chunker.ThumbnailChars))))
+        case "html" =>
+          val blocks = Dom.blocks(Html5Tokenizer.tokenize(html))
+          val kept = Extractor.suppressRepeats(blocks.filter(BlockClassifier.keep))
+          val segs = Chunker.segments(kept)
+          val thumb = Chunker.thumbnail(kept)
+          segs.zipWithIndex.map { case (seg, idx) =>
+            ChunkRow(url, ts, idx, segs.length, seg.map(_.text).mkString("\n"), thumb)
+          }
+        case _ => Seq.empty
+      }
+    } catch { case _: Throwable => Seq.empty }
+  }
+}
