@@ -9,6 +9,9 @@ libraryDependencies ++= Seq(
   "org.scalatest" %% "scalatest" % "3.2.19" % Test,
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
+// No LANG/LC_ALL in this container → platform charset is ASCII; force
+// UTF-8 so non-ASCII literals (entities, CJK fixtures) survive compile.
+scalacOptions ++= Seq("-encoding", "utf8")
 Test / fork := true
 run / fork := true
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside

@@ -343,7 +343,10 @@ object SynthCorpus {
     typ match {
       case "pdf" =>
         val nLines = 5 + r.nextInt(26)
-        val lines = (0 until nLines).map(_ => sentence(r))
+        // PDF strings are latin-1 bytes; fold the entity-exercising
+        // specials to ASCII so writer/parser round-trip byte-exactly
+        val lines = (0 until nLines).map(_ => sentence(r)
+          .replace("…", "...").replace("—", "-").replace("©", "(c)"))
         val bytes = PdfWriter.make(lines)
         val expected = lines.mkString("\n")
         val page = PageRow(url, ts, bytes, noisy(expected, r), "en")
