@@ -1,13 +1,484 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.extract.ExtractMode
+import graft.gen.SynthCorpus
+import graft.icelite.IceLite
+import graft.pipeline.{Metrics, Pipeline, Render}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Driver contract (SURVEY.md §5, §7): one `queries` entry per
+  * implemented operator family; `oracleSql` holds the DuckDB-equivalent
+  * SQL for every relationally-expressible query. Column names are
+  * aliased identically on both sides (the driver hash-compares values
+  * after sorting columns by name).
+  *
+  * Oracle-parity discipline for floats: aggregates are either integer
+  * counts/sums or per-row `floor(x * scale)` before an integer sum —
+  * never a float aggregate whose last-ulp could differ between engines.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  // ------------------------------------------------------- synth corpora
+
+  final val SynthRoot = "/root/repo/target/synth"
+  final val MicroDocs = 400L
+
+  /** Micro pages+golden tables, IceLite-committed once per JVM/disk. */
+  def microTables(spark: SparkSession): (String, String) =
+    SynthCorpus.ensure(spark, MicroDocs, s"$SynthRoot/micro")
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** Flagship: full multi-mode extraction of the micro corpus joined
+    * against golden with a byte-identity verdict per url. */
+  def entry(spark: SparkSession): DataFrame = {
+    val (pagesDir, goldenDir) = microTables(spark)
+    val pages = IceLite.read(spark, pagesDir)
+    val golden = IceLite.read(spark, goldenDir)
+    goldenMatches(spark, pages, golden)
+  }
+
+  /** All-mode golden evaluation (J1): extract each fixture with its own
+    * mode, reassemble multipage, inner-join golden (broadcast — fixture
+    * side is small), compare bytes. */
+  def goldenMatches(spark: SparkSession, pages: DataFrame, golden: DataFrame): DataFrame = {
+    val single = golden.filter(col("mode") =!= "multipage")
+      .join(pages, Seq("url"))
+      .select(col("url"), col("warc_ts"), col("html"), col("mode"), col("mode_args"))
+    val extractedSingle = Pipeline.extractWithModes(single).toDF()
+      .select(col("url"), col("mode"), col("text"), col("status"))
+    val parts = Pipeline.extract(
+      pages.filter(col("url").contains("?part=")), ExtractMode.Plain).toDF()
+    val multi = Pipeline.reassembleMultiPage(parts)
+      .select(col("url"), lit("multipage").as("mode"), col("text"), lit("ok").as("status"))
+    val extracted = extractedSingle.unionByName(multi)
+    extracted.join(broadcast(golden.select(col("url"), col("mode"), col("expected_text"))),
+        Seq("url", "mode"))
+      .select(col("url"), col("mode"), col("status"),
+        (encode(col("text"), "UTF-8") === col("expected_text")).as("matches"),
+        length(col("text")).as("out_chars"))
+      .orderBy("url", "mode")
+  }
+
+  // ---------------------------------------------------------- queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- relational / eval stages (oracle-checked) ----
+    "q01_pricing_summary" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1998-09-01 00:00:00")))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast("long")).as("sum_qty"),
+          count(lit(1)).as("n_rows"),
+          sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100).cast("long")).as("revenue_cents"),
+          sum(floor(col("l_discount") * 10000).cast("long")).as("disc_bp"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+    "q02_nation_revenue" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val cust = t(s, dir, "customer")
+      val nation = t(s, dir, "nation")
+      orders.join(cust, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(floor(col("o_totalprice") * 100).cast("long")).as("total_cents"))
+        .orderBy("n_name")
+    }),
+    "q03_anti_join_resume" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val orders = t(s, dir, "orders")
+      cust.join(orders.filter(col("o_orderstatus") === "F"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_no_order"),
+          sum(floor(col("c_acctbal") * 100).cast("long")).as("bal_cents"))
+        .orderBy("c_mktsegment")
+    }),
+    "q04_union_mix" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val a = docs.filter(col("lang") === "en")
+      val b = docs.filter(col("lang") =!= "en")
+      a.unionByName(b)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy("source")
+    }),
+    "q05_first_event" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_first"))
+        .orderBy("event_type")
+    }),
+    "q06_edit_distance" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val d1 = docs.select(col("doc_id"), col("lang"), substring(col("text"), 1, 64).as("t1"))
+      val d2 = docs.select((col("doc_id") - 1).as("doc_id"), substring(col("text"), 1, 64).as("t2"))
+      d1.join(d2, Seq("doc_id"))
+        .groupBy(col("lang"))
+        .agg(sum(levenshtein(col("t1"), col("t2"))).cast("long").as("sum_dist"),
+          count(lit(1)).as("n_pairs"))
+        .orderBy("lang")
+    }),
+    "q07_category_split" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      docs.withColumn("category",
+          when(col("text").contains("\\begin{tabular}"), "table")
+            .when(col("text").contains("\\(") || col("text").contains("\\["), "math")
+            .otherwise("text"))
+        .groupBy(col("category"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy("category")
+    }),
+    "q08_token_prf" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      docs.select(col("lang"),
+          array_distinct(split(substring(col("text"), lit(1),
+            floor(col("n_chars") / 2).cast("int")), " ")).as("hyp"),
+          array_distinct(split(col("text"), " ")).as("ref"))
+        .select(col("lang"),
+          size(array_intersect(col("ref"), col("hyp"))).cast("long").as("inter"),
+          size(col("ref")).cast("long").as("nref"),
+          size(col("hyp")).cast("long").as("nhyp"))
+        .groupBy(col("lang"))
+        .agg(sum(col("inter")).as("sum_inter"), sum(col("nref")).as("sum_ref"),
+          sum(col("nhyp")).as("sum_hyp"))
+        .orderBy("lang")
+    }),
+    "q09_dedup_exact" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(md5(col("text").cast("binary"))).as("n_unique"))
+        .orderBy("lang")
+    }),
+    "q10_minhash_band" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val shingled = docs
+        .filter(length(col("text")) >= 8)
+        .select(col("doc_id"), col("lang"),
+          explode(sequence(lit(0), lit(1))).as("b"),
+          col("text"))
+        .select(col("doc_id"), col("lang"), col("b"),
+          explode(sequence(lit(1), greatest(length(col("text")) - 7, lit(1)), lit(7))).as("i"),
+          col("text"))
+        .select(col("doc_id"), col("lang"), col("b"),
+          md5(concat(col("b").cast("string"), substring(col("text"), col("i"), lit(8)))
+            .cast("binary")).as("h"))
+      val sigs = shingled.groupBy(col("doc_id"), col("lang"), col("b"))
+        .agg(min(col("h")).as("sig"))
+      val buckets = sigs.groupBy(col("b"), col("sig"))
+        .agg(count(lit(1)).as("cnt"))
+      buckets.groupBy(col("b"))
+        .agg(count(lit(1)).as("n_buckets"),
+          sum((col("cnt") * (col("cnt") - 1) / 2).cast("long")).as("cand_pairs"))
+        .orderBy("b")
+    }),
+    "q12_ngram_jaccard" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val grams = docs.select(col("doc_id"), col("lang"), split(col("text"), " ").as("w"))
+        .select(col("doc_id"), col("lang"),
+          when(size(col("w")) < 3, array().cast("array<string>"))
+            .otherwise(array_distinct(transform(
+              sequence(lit(1), size(col("w")) - 2),
+              i => concat_ws(" ", element_at(col("w"), i),
+                element_at(col("w"), i + 1), element_at(col("w"), i + 2))))).as("g"))
+      val a = grams.select(col("doc_id"), col("lang"), col("g").as("ga"))
+      val b = grams.select((col("doc_id") - 1).as("doc_id"), col("g").as("gb"))
+      a.join(b, Seq("doc_id"))
+        .select(col("lang"),
+          floor(lit(1000.0) * size(array_intersect(col("ga"), col("gb"))) /
+            greatest(size(array_distinct(concat(col("ga"), col("gb")))), lit(1)))
+            .cast("long").as("jacc_x1000"))
+        .groupBy(col("lang"))
+        .agg(sum(col("jacc_x1000")).as("sum_jacc_x1000"), count(lit(1)).as("n_pairs"))
+        .orderBy("lang")
+    }),
+    "q13_cosine_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+      val q = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      def dot(x: Column, y: Column): Column =
+        aggregate(zip_with(x, y, (a, b) => a * b), lit(0.0), (acc, e) => acc + e)
+      val scored = emb.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          (dot(col("qv"), col("v")) /
+            (sqrt(dot(col("qv"), col("qv"))) * sqrt(dot(col("v"), col("v"))))).as("cos"))
+      val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("vec_id").as("neighbor_id"))
+        .orderBy("query_id", "rank")
+    }),
+    "q14_langid" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      docs.withColumn("predicted",
+          when(col("text").rlike("[一-龥]"), "zh")
+            .when((length(col("text")) - length(replace(col("text"), lit(" the "), lit("")))) >= 10, "en")
+            .otherwise("other"))
+        .groupBy(col("lang"), col("predicted"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang", "predicted")
+    }),
+    "q15_quality_score" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      docs.select(col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"),
+          (length(col("text")) - length(replace(col("text"), lit("."), lit("")))).cast("long").as("n_punct"),
+          ((length(col("text")) - length(replace(col("text"), lit(" the "), lit(" ")))) / 4).cast("long").as("n_the"),
+          col("n_chars"))
+        .groupBy(col("source"))
+        .agg(sum(col("n_tokens")).as("sum_tokens"), sum(col("n_punct")).as("sum_punct"),
+          sum(col("n_the")).as("sum_the"), sum(col("n_chars")).as("sum_chars"),
+          count(lit(1)).as("n_docs"))
+        .orderBy("source")
+    }),
+    "q16_token_count" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      docs.select(col("lang"),
+          size(split(col("text"), "\\s+")).cast("long").as("ws_tokens"),
+          size(regexp_extract_all(col("text"), lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0)))
+            .cast("long").as("bpeish_tokens"))
+        .groupBy(col("lang"))
+        .agg(sum(col("ws_tokens")).as("sum_ws"), sum(col("bpeish_tokens")).as("sum_bpeish"),
+          count(lit(1)).as("n_docs"))
+        .orderBy("lang")
+    }),
+    "q17_hourly_events" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("value") * 100).cast("long")).as("value_cents"))
+        .orderBy("hour", "event_type")
+    }),
+
+    // ---- extraction pipeline (rows-only: not SQL-expressible) ----
+    "x01_extract_plain" -> ((s, _) => {
+      val (pagesDir, _) = microTables(s)
+      Pipeline.extract(IceLite.read(s, pagesDir), ExtractMode.Plain).toDF()
+        .select(col("url"), col("mode"), col("status"), col("text"),
+          element_at(col("metrics"), "blocks_kept").as("blocks_kept"))
+        .orderBy("url")
+    }),
+    "x02_golden_match" -> ((s, _) => entry(s)),
+    "x03_multipage" -> ((s, _) => {
+      val (pagesDir, _) = microTables(s)
+      val pages = IceLite.read(s, pagesDir)
+      val parts = Pipeline.extract(pages.filter(col("url").contains("?part=")), ExtractMode.Plain)
+      Pipeline.reassembleMultiPage(parts.toDF()).orderBy("url")
+    }),
+    "x04_chunked_identity" -> ((s, _) => {
+      val (pagesDir, _) = microTables(s)
+      val pages = IceLite.read(s, pagesDir).filter(!col("url").contains("?part="))
+      val plain = Pipeline.ok(Pipeline.extract(pages, ExtractMode.Plain)).toDF()
+        .select(col("url"), col("text").as("plain_text"))
+      Pipeline.extractChunked(pages)
+        .join(plain, Seq("url"))
+        .select(col("url"), col("n_chunks"),
+          (col("text") === col("plain_text")).as("identical"))
+        .orderBy("url")
+    }),
+    "x05_eval_metrics" -> ((s, _) => {
+      // reference eval aggregate (A1): corpus means of per-doc metrics,
+      // extracted text vs the crawl's noisy `text` column
+      import s.implicits._
+      val (pagesDir, _) = microTables(s)
+      val pages = IceLite.read(s, pagesDir).filter(col("text").isNotNull)
+      val crawl = pages.select(col("url"), col("text").as("crawl_text"))
+      Pipeline.ok(Pipeline.extract(pages, ExtractMode.Plain)).toDF()
+        .join(crawl, Seq("url"))
+        .select(col("url"), col("text"), col("crawl_text"))
+        .as[(String, String, String)]
+        .map { case (url, pred, gt) =>
+          val m = Metrics.perDoc(pred, gt)
+          (url, m.getOrElse("bleu", 0.0), m.getOrElse("f_measure", 0.0),
+            m.getOrElse("precision", 0.0), m.getOrElse("recall", 0.0),
+            m.getOrElse("edit_dist", 0.0), m.getOrElse("chrf", 0.0))
+        }
+        .toDF("url", "bleu", "f_measure", "precision", "recall", "edit_dist", "chrf")
+        .agg(count(lit(1)).as("n_docs"), avg("bleu").as("bleu"),
+          avg("f_measure").as("f_measure"), avg("precision").as("precision"),
+          avg("recall").as("recall"), avg("edit_dist").as("edit_dist"),
+          avg("chrf").as("chrf"))
+    }),
+    "x06_render_html" -> ((s, _) => {
+      import s.implicits._
+      val (pagesDir, goldenDir) = microTables(s)
+      val formatUrls = IceLite.read(s, goldenDir)
+        .filter(col("mode") === "format").select(col("url"))
+      val pages = IceLite.read(s, pagesDir).join(formatUrls, Seq("url"))
+      Pipeline.ok(Pipeline.extract(pages, ExtractMode.Format)).toDF()
+        .select(col("url"), col("text")).as[(String, String)]
+        .map { case (url, text) => (url, Render.render(text)) }
+        .toDF("url", "html_render")
+        .orderBy("url")
+    }),
+    "x07_simhash_dedup" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) => (id, graft.functions.TextSketch.simhash64(text)) }
+        .toDF("doc_id", "simhash")
+        .withColumn("band", shiftrightunsigned(col("simhash"), 48).cast("int"))
+        .groupBy(col("band")).agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("simhash")).as("n_distinct"))
+        .orderBy("band")
+    }),
+    "x08_minhash_lsh_pairs" -> ((s, dir) => {
+      graft.functions.TextSketch.lshCandidatePairs(t(s, dir, "documents"))
+    }),
+    "x09_resume_lineage" -> ((s, _) => {
+      val (pagesDir, _) = microTables(s)
+      val out = s"$SynthRoot/run_${java.util.UUID.randomUUID().toString.take(8)}"
+      graft.pipeline.ResumableRun.run(s, pagesDir, s"$out/extracted", s"$out/lineage",
+        nShards = 8, batchSize = 4)
+      s.read.parquet(s"$out/lineage")
+        .select(col("snapshot_id"), col("partition_hash"), col("row_count_in"),
+          col("row_count_out"), col("bytes_in"))
+        .orderBy("partition_hash")
+    }),
+  )
+
+  // --------------------------------------------------------- oracle SQL
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
+        | count(*) AS n_rows,
+        | sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS revenue_cents,
+        | sum(CAST(floor(l_discount * 10000) AS BIGINT)) AS disc_bp
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_nation_revenue" ->
+      """SELECT n_name,
+        | count(*) AS n_orders,
+        | sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS total_cents
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q03_anti_join_resume" ->
+      """SELECT c_mktsegment,
+        | count(*) AS n_no_order,
+        | sum(CAST(floor(c_acctbal * 100) AS BIGINT)) AS bal_cents
+        |FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q04_union_mix" ->
+      """SELECT source, count(*) AS n_docs, sum(n_chars) AS sum_chars FROM (
+        |  SELECT * FROM documents WHERE lang = 'en'
+        |  UNION ALL
+        |  SELECT * FROM documents WHERE lang <> 'en'
+        |) GROUP BY source ORDER BY source""".stripMargin,
+    "q05_first_event" ->
+      """SELECT event_type, count(*) AS n_first FROM (
+        |  SELECT event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events
+        |) WHERE rn = 1 GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q06_edit_distance" ->
+      """SELECT d1.lang,
+        | CAST(sum(levenshtein(substring(d1.text, 1, 64), substring(d2.text, 1, 64))) AS BIGINT) AS sum_dist,
+        | count(*) AS n_pairs
+        |FROM documents d1 JOIN documents d2 ON d2.doc_id = d1.doc_id + 1
+        |GROUP BY d1.lang ORDER BY d1.lang""".stripMargin,
+    "q07_category_split" ->
+      """SELECT CASE
+        |  WHEN position('\begin{tabular}' IN text) > 0 THEN 'table'
+        |  WHEN position('\(' IN text) > 0 OR position('\[' IN text) > 0 THEN 'math'
+        |  ELSE 'text' END AS category,
+        | count(*) AS n_docs, sum(n_chars) AS sum_chars
+        |FROM documents GROUP BY 1 ORDER BY category""".stripMargin,
+    "q08_token_prf" ->
+      """WITH t AS (
+        |  SELECT lang,
+        |    list_distinct(string_split(substring(text, 1, CAST(floor(n_chars / 2) AS INT)), ' ')) AS hyp,
+        |    list_distinct(string_split(text, ' ')) AS ref
+        |  FROM documents)
+        |SELECT lang,
+        |  CAST(sum(len(list_intersect(ref, hyp))) AS BIGINT) AS sum_inter,
+        |  CAST(sum(len(ref)) AS BIGINT) AS sum_ref,
+        |  CAST(sum(len(hyp)) AS BIGINT) AS sum_hyp
+        |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
+    "q09_dedup_exact" ->
+      """SELECT lang, count(*) AS n_docs, count(DISTINCT md5(text)) AS n_unique
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q10_minhash_band" ->
+      """WITH sh AS (
+        |  SELECT doc_id, b, min(md5(CAST(b AS VARCHAR) || substring(text, i, 8))) AS sig
+        |  FROM documents,
+        |    (SELECT unnest(generate_series(0, 1)) AS b),
+        |    LATERAL (SELECT unnest(generate_series(1, greatest(length(text) - 7, 1), 7)) AS i)
+        |  WHERE length(text) >= 8
+        |  GROUP BY doc_id, b),
+        |bk AS (SELECT b, sig, count(*) AS cnt FROM sh GROUP BY b, sig)
+        |SELECT b, count(*) AS n_buckets,
+        |  CAST(sum(cnt * (cnt - 1) / 2) AS BIGINT) AS cand_pairs
+        |FROM bk GROUP BY b ORDER BY b""".stripMargin,
+    "q12_ngram_jaccard" ->
+      """WITH g AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN len(string_split(text, ' ')) < 3 THEN []
+        |    ELSE list_distinct(list_transform(
+        |      generate_series(1, len(string_split(text, ' ')) - 2),
+        |      i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2]))
+        |    END AS gr
+        |  FROM documents)
+        |SELECT a.lang,
+        |  CAST(sum(floor(1000.0 * len(list_intersect(a.gr, b.gr)) /
+        |    greatest(len(list_distinct(a.gr || b.gr)), 1))) AS BIGINT) AS sum_jacc_x1000,
+        |  count(*) AS n_pairs
+        |FROM g a JOIN g b ON b.doc_id = a.doc_id + 1
+        |GROUP BY a.lang ORDER BY a.lang""".stripMargin,
+    "q13_cosine_topk" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id,
+        |    list_dot_product(qv, v) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) AS cos
+        |  FROM e, q WHERE e.vec_id <> q.query_id),
+        |r AS (SELECT query_id, vec_id,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id AS neighbor_id
+        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q14_langid" ->
+      """SELECT lang,
+        |  CASE WHEN regexp_matches(text, '[一-龥]') THEN 'zh'
+        |       WHEN (length(text) - length(replace(text, ' the ', ''))) >= 10 THEN 'en'
+        |       ELSE 'other' END AS predicted,
+        |  count(*) AS n
+        |FROM documents GROUP BY 1, 2 ORDER BY lang, predicted""".stripMargin,
+    "q15_quality_score" ->
+      """SELECT source,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens,
+        |  CAST(sum(length(text) - length(replace(text, '.', ''))) AS BIGINT) AS sum_punct,
+        |  CAST(sum(CAST((length(text) - length(replace(text, ' the ', ' '))) / 4 AS BIGINT)) AS BIGINT) AS sum_the,
+        |  sum(n_chars) AS sum_chars,
+        |  count(*) AS n_docs
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "q16_token_count" ->
+      """SELECT lang,
+        |  CAST(sum(len(regexp_split_to_array(text, '\s+'))) AS BIGINT) AS sum_ws,
+        |  CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))) AS BIGINT) AS sum_bpeish,
+        |  count(*) AS n_docs
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q17_hourly_events" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type,
+        |  count(*) AS n,
+        |  sum(CAST(floor(value * 100) AS BIGINT)) AS value_cents
+        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+  )
 }

@@ -1,0 +1,148 @@
+package graft.functions
+
+import graft.util.Hash64
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Deduplication / similarity sketches for the training-data pipeline
+  * layer: SimHash, MinHash+LSH banding, and hyperplane-LSH ANN buckets.
+  * All hashing is seed-fixed xxh64 — deterministic across machines and
+  * parallelism levels.
+  *
+  * Scale notes (the 100 TB story): every operator here is
+  * embarrassingly parallel per row followed by ONE shuffle keyed by a
+  * short band/bucket signature — never an all-pairs join. Candidate
+  * verification happens within buckets only.
+  */
+object TextSketch {
+
+  final val ShingleWords = 3
+  final val MinHashK = 32
+  final val Bands = 8
+  final val RowsPerBand: Int = MinHashK / Bands
+
+  def tokensOf(text: String): Array[String] =
+    text.split("\\s+").filter(_.nonEmpty)
+
+  /** 64-bit SimHash over word unigrams (Charikar 2002 family). */
+  def simhash64(text: String): Long = {
+    val counts = new Array[Int](64)
+    tokensOf(text).foreach { w =>
+      val h = Hash64.xxh64(w, 0x51a7e5eedL)
+      var j = 0
+      while (j < 64) {
+        if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+        j += 1
+      }
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 64) { if (counts(j) > 0) sig |= (1L << j); j += 1 }
+    sig
+  }
+
+  def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  /** Word n-gram shingles. */
+  def shingles(text: String, n: Int = ShingleWords): Iterator[String] = {
+    val t = tokensOf(text)
+    if (t.length < n) Iterator.single(t.mkString(" "))
+    else (0 to t.length - n).iterator.map(i => t.slice(i, i + n).mkString(" "))
+  }
+
+  /** k-permutation MinHash signature over shingles. */
+  def minhashSignature(text: String, k: Int = MinHashK): Array[Long] = {
+    val sig = Array.fill(k)(Long.MaxValue)
+    shingles(text).foreach { sh =>
+      var i = 0
+      while (i < k) {
+        // universal-hash rotation of the base shingle hash per permutation
+        val h = Hash64.xxh64(sh, 0xdedca42L + i * 0x9e3779b97f4a7c15L)
+        if (h < sig(i)) sig(i) = h
+        i += 1
+      }
+    }
+    sig
+  }
+
+  /** LSH band key: hash of the band's signature slice. */
+  def bandKeys(sig: Array[Long], bands: Int = Bands): Array[Long] = {
+    val rows = sig.length / bands
+    Array.tabulate(bands) { b =>
+      val slice = sig.slice(b * rows, (b + 1) * rows)
+      Hash64.xxh64(slice.mkString(","), 0xbad5L + b)
+    }
+  }
+
+  /** Jaccard estimate from two signatures. */
+  def estJaccard(a: Array[Long], b: Array[Long]): Double = {
+    var eq = 0
+    var i = 0
+    while (i < a.length) { if (a(i) == b(i)) eq += 1; i += 1 }
+    eq.toDouble / a.length
+  }
+
+  /** MinHash-LSH near-duplicate candidate pairs over a (doc_id, text)
+    * table: shingle → minhash → band → bucket-join → within-bucket
+    * verify (estimated Jaccard). One shuffle, keyed by (band, bandKey);
+    * no all-pairs comparison — the 100 TB-safe shape. */
+  def lshCandidatePairs(docs: DataFrame, minJaccardX100: Int = 50): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sigs: Dataset[(Long, Array[Long])] = docs
+      .select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) => (id, minhashSignature(text)) }
+    val banded = sigs.flatMap { case (id, sig) =>
+      bandKeys(sig).zipWithIndex.map { case (k, b) => (b, k, id, sig) }
+    }
+    val pairs = banded.groupByKey(t => (t._1, t._2))
+      .flatMapGroups { (_, rows) =>
+        val ds = rows.map(t => (t._3, t._4)).toArray.sortBy(_._1)
+        for {
+          i <- ds.indices.iterator
+          j <- (i + 1) until ds.length
+          if ds(i)._1 != ds(j)._1
+        } yield (ds(i)._1, ds(j)._1, estJaccard(ds(i)._2, ds(j)._2))
+      }
+      .toDF("doc_a", "doc_b", "est_jaccard")
+    pairs
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(max(col("est_jaccard")).as("est_jaccard"))
+      .filter(col("est_jaccard") * 100 >= minJaccardX100)
+      .select(col("doc_a"), col("doc_b"),
+        floor(col("est_jaccard") * 100).cast("long").as("jaccard_x100"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  // ------------------------------------------------- ANN (embeddings)
+
+  /** Random-hyperplane LSH bucket for a float vector: bit b = sign of
+    * dot(v, r_b) where r_b components are seed-fixed ±1 from xxh64. */
+  def hyperplaneBucket(v: Array[Float], nBits: Int = 12, seed: Long = 0xa22L): Int = {
+    var bucket = 0
+    var b = 0
+    while (b < nBits) {
+      var dot = 0.0
+      var d = 0
+      while (d < v.length) {
+        val sign = if ((Hash64.xxh64(s"$b:$d", seed) & 1L) == 0L) 1.0 else -1.0
+        dot += sign * v(d)
+        d += 1
+      }
+      if (dot > 0) bucket |= (1 << b)
+      b += 1
+    }
+    bucket
+  }
+
+  def cosine(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < a.length) {
+      dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+      i += 1
+    }
+    if (na == 0 || nb == 0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+}
