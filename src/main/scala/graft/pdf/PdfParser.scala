@@ -155,7 +155,7 @@ object PdfParser {
 
   /** PDF literal string with escapes and balanced nesting. Returns
     * (decoded, indexAfterClose). */
-  private[pdf] def parseString(s: String, open: Int): (String, Int) = {
+  private[graft] def parseString(s: String, open: Int): (String, Int) = {
     val b = new StringBuilder
     var i = open + 1
     var depth = 1
@@ -190,7 +190,7 @@ object PdfParser {
     (b.toString, i)
   }
 
-  private[pdf] def parseHexString(s: String, open: Int): (String, Int) = {
+  private[graft] def parseHexString(s: String, open: Int): (String, Int) = {
     val b = new StringBuilder
     var i = open + 1
     val n = s.length

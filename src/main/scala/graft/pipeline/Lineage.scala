@@ -60,9 +60,9 @@ object ResumableRun {
         .withColumn("shard", shardExpr(nShards))
       extracted.persist()
       try {
-        // deterministic per-batch dir → idempotent on re-run after a kill
+        // deterministic per-batch dir → idempotent on re-run after a kill;
+        // `shard` stays a data column (batch dirs are the commit unit)
         extracted.write.mode("overwrite")
-          .partitionBy("shard")
           .parquet(s"$outDir/batch_${batch.head}")
         import spark.implicits._
         // left-join against the batch's shard list so EMPTY shards also
@@ -99,6 +99,13 @@ object ResumableRun {
   }
 
   /** Read everything extracted so far (all committed batches). */
-  def readOutput(spark: SparkSession, outDir: String): DataFrame =
-    spark.read.option("basePath", outDir).parquet(s"$outDir/batch_*")
+  def readOutput(spark: SparkSession, outDir: String): DataFrame = {
+    // one root per committed batch (each carries its own shard=N
+    // partition dirs); enumerating roots keeps partition discovery happy
+    val p = new org.apache.hadoop.fs.Path(outDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val batches = fs.listStatus(p).map(_.getPath.toString)
+      .filter(_.contains("batch_")).sorted
+    spark.read.parquet(batches: _*)
+  }
 }
