@@ -56,28 +56,30 @@ object Dom {
 
   private final val BrSentinel = '\u0001'
 
-  /** Collapse [ \t\n\r\f]+ → ' ', honor BR sentinels as hard newlines. */
+  /** Collapse [ \t\n\r\f]+ → ' ', honor BR sentinels as hard newlines;
+    * leading/trailing hard newlines are stripped. Single streaming pass
+    * (this runs once per block — no regex, no intermediate strings). */
   private[graft] def normalize(raw: String): String = {
-    val parts = raw.split(BrSentinel.toString, -1)
-    val norm = parts.map { part =>
-      val b = new StringBuilder(part.length)
-      var ws = false
-      var i = 0
-      while (i < part.length) {
-        val c = part.charAt(i)
-        if (c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f') ws = true
-        else {
-          if (ws && b.nonEmpty) b.append(' ')
-          ws = false
-          b.append(c)
-        }
-        i += 1
+    val b = new StringBuilder(raw.length)
+    var ws = false
+    var i = 0
+    while (i < raw.length) {
+      val c = raw.charAt(i)
+      if (c == BrSentinel) {
+        if (b.nonEmpty) b.append('\n') // skip leading hard newlines
+        ws = false
+      } else if (c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f') {
+        ws = true
+      } else {
+        if (ws && b.nonEmpty && b.charAt(b.length - 1) != '\n') b.append(' ')
+        ws = false
+        b.append(c)
       }
-      b.toString
+      i += 1
     }
-    val joined = norm.mkString("\n")
-    // strip leading/trailing hard newlines from dangling <br>
-    joined.replaceAll("^\n+", "").replaceAll("\n+$", "")
+    var end = b.length
+    while (end > 0 && b.charAt(end - 1) == '\n') end -= 1
+    b.substring(0, end)
   }
 
   def blocks(tokens: Vector[HtmlToken]): Vector[Block] = {

@@ -67,46 +67,50 @@ object Html5Tokenizer {
     * become U+FFFD advancing one byte (never throws). */
   def decode(bytes: Array[Byte], charset: String): Decoded = {
     val n = bytes.length
-    val chars = new ArrayBuffer[Char](n)
-    val offs = new ArrayBuffer[Int](n + 1)
+    // worst case one char per byte (+1 offset sentinel); primitive arrays,
+    // no boxing — this runs once per document byte
+    val chars = new Array[Char](n)
+    val offs = new Array[Int](n + 1)
+    var k = 0
+    @inline def put(c: Char, at: Int): Unit = { chars(k) = c; offs(k) = at; k += 1 }
     charset match {
       case "iso-8859-1" | "windows-1252" =>
         val win = charset == "windows-1252"
         var i = 0
         while (i < n) {
           val b = bytes(i) & 0xff
-          val c = if (win && b >= 0x80 && b <= 0x9f) cp1252High(b - 0x80) else b.toChar
-          chars += c; offs += i; i += 1
+          put(if (win && b >= 0x80 && b <= 0x9f) cp1252High(b - 0x80) else b.toChar, i)
+          i += 1
         }
       case _ => // utf-8
         var i = 0
         while (i < n) {
           val b0 = bytes(i) & 0xff
-          if (b0 < 0x80) { chars += b0.toChar; offs += i; i += 1 }
+          if (b0 < 0x80) { put(b0.toChar, i); i += 1 }
           else if ((b0 & 0xe0) == 0xc0 && i + 1 < n && (bytes(i + 1) & 0xc0) == 0x80) {
             val cp = ((b0 & 0x1f) << 6) | (bytes(i + 1) & 0x3f)
-            if (cp >= 0x80) { chars += cp.toChar; offs += i; i += 2 }
-            else { chars += '�'; offs += i; i += 1 } // overlong
+            if (cp >= 0x80) { put(cp.toChar, i); i += 2 }
+            else { put('�', i); i += 1 } // overlong
           } else if ((b0 & 0xf0) == 0xe0 && i + 2 < n &&
               (bytes(i + 1) & 0xc0) == 0x80 && (bytes(i + 2) & 0xc0) == 0x80) {
             val cp = ((b0 & 0x0f) << 12) | ((bytes(i + 1) & 0x3f) << 6) | (bytes(i + 2) & 0x3f)
-            if (cp >= 0x800 && !(cp >= 0xd800 && cp <= 0xdfff)) { chars += cp.toChar; offs += i; i += 3 }
-            else { chars += '�'; offs += i; i += 1 }
+            if (cp >= 0x800 && !(cp >= 0xd800 && cp <= 0xdfff)) { put(cp.toChar, i); i += 3 }
+            else { put('�', i); i += 1 }
           } else if ((b0 & 0xf8) == 0xf0 && i + 3 < n &&
               (bytes(i + 1) & 0xc0) == 0x80 && (bytes(i + 2) & 0xc0) == 0x80 && (bytes(i + 3) & 0xc0) == 0x80) {
             val cp = ((b0 & 0x07) << 18) | ((bytes(i + 1) & 0x3f) << 12) |
               ((bytes(i + 2) & 0x3f) << 6) | (bytes(i + 3) & 0x3f)
             if (cp >= 0x10000 && cp <= 0x10ffff) {
               val pair = Character.toChars(cp)
-              chars += pair(0); offs += i
-              chars += pair(1); offs += i
+              put(pair(0), i); put(pair(1), i)
               i += 4
-            } else { chars += '�'; offs += i; i += 1 }
-          } else { chars += '�'; offs += i; i += 1 }
+            } else { put('�', i); i += 1 }
+          } else { put('�', i); i += 1 }
         }
     }
-    offs += n
-    new Decoded(chars.toArray, offs.toArray)
+    offs(k) = n
+    if (k == n) new Decoded(chars, java.util.Arrays.copyOf(offs, n + 1))
+    else new Decoded(java.util.Arrays.copyOf(chars, k), java.util.Arrays.copyOf(offs, k + 1))
   }
 
   def tokenize(bytes: Array[Byte]): Vector[HtmlToken] = {
@@ -167,14 +171,18 @@ object Html5Tokenizer {
         val end = if (found >= 0) found else n
         if (end > i) {
           if (rcdataMode) {
-            // entity-decode RCDATA
+            // entity-decode RCDATA (batched between '&'s)
+            val seq = new ArrayCharSeq(s)
             var k = i
             while (k < end) {
-              val c = s(k)
-              if (c == '&') {
-                val (dec, len) = Entities.decodeAt(new String(s, i, end - i), k - i)
-                addText(dec, k, k + len); k += len
-              } else { addText(String.valueOf(c), k, k + 1); k += 1 }
+              if (s(k) == '&') {
+                val (dec, len) = Entities.decodeAt(seq, k)
+                addText(dec, k, math.min(k + len, end)); k += len
+              } else {
+                var j = k + 1
+                while (j < end && s(j) != '&') j += 1
+                addText(new String(s, k, j - k), k, j); k = j
+              }
             }
           } else {
             addText(new String(s, i, end - i), i, end)
@@ -251,8 +259,11 @@ object Html5Tokenizer {
           addText(dec, i, i + len)
           i += len
         } else {
-          addText(String.valueOf(c), i, i + 1)
-          i += 1
+          // batch the plain-text run up to the next delimiter (hot path)
+          var j = i + 1
+          while (j < n && s(j) != '<' && s(j) != '&') j += 1
+          addText(new String(s, i, j - i), i, j)
+          i = j
         }
       }
     }
