@@ -50,7 +50,8 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val benchDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "400000").toLong
+    // big enough that fixed stage/scheduling costs amortize at 32 cores
+    val benchDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "2000000").toLong
     val benchRoot = s"${SparkEntry.SynthRoot}/bench_$benchDocs"
 
     // ---- phase 1: headline queries at the driver-requested parallelism

@@ -337,6 +337,21 @@ object SparkEntry {
     "x08_minhash_lsh_pairs" -> ((s, dir) => {
       graft.functions.TextSketch.lshCandidatePairs(t(s, dir, "documents"))
     }),
+    "x10_ann_lsh" -> ((s, dir) =>
+      graft.functions.TextSketch.annTopK(t(s, dir, "embeddings"))),
+    "x11_multimodal_features" -> ((s, _) =>
+      graft.functions.Multimodal.featureStats(s, 2000L)),
+    "x12_streaming_extract" -> ((s, _) => {
+      val (pagesDir, _) = microTables(s)
+      val run = s"$SynthRoot/stream_${java.util.UUID.randomUUID().toString.take(8)}"
+      val q = graft.streaming.StreamingExtract.availableNow(
+        s, s"$pagesDir/data/*.parquet", s"$run/out", s"$run/ckpt")
+      q.awaitTermination()
+      s.read.parquet(s"$run/out")
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n"), sum(length(col("text"))).as("out_chars"))
+        .orderBy("status")
+    }),
     "x09_resume_lineage" -> ((s, _) => {
       val (pagesDir, _) = microTables(s)
       val out = s"$SynthRoot/run_${java.util.UUID.randomUUID().toString.take(8)}"

@@ -136,6 +136,34 @@ object TextSketch {
     bucket
   }
 
+  /** LSH-bucketed approximate top-k neighbors (the scale path of the
+    * similarity search: brute-force cosine is the baseline — q13 — and
+    * this replaces the full cross join with a bucket-equi-join; at 100 TB
+    * the bucket join shuffles each side once by bucket id). */
+  def annTopK(emb: DataFrame, nQueries: Int = 5, k: Int = 5, nBits: Int = 4): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val bucketed = emb.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .map { case (id, v) => (id, hyperplaneBucket(v, nBits), v) }
+      .toDF("vec_id", "bucket", "v")
+    val q = bucketed.filter(col("vec_id") < nQueries)
+      .select(col("bucket"), col("vec_id").as("query_id"), col("v").as("qv"))
+    val scored = bucketed.join(broadcast(q), Seq("bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("qv"), col("v"))
+      .as[(Long, Long, Array[Float], Array[Float])]
+      .map { case (qid, vid, qv, v) => (qid, vid, cosine(qv, v)) }
+      .toDF("query_id", "neighbor_id", "cos")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), floor(col("cos") * 10000).cast("long").as("cos_x10000"))
+      .orderBy("query_id", "rank")
+  }
+
   def cosine(a: Array[Float], b: Array[Float]): Double = {
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0

@@ -1,0 +1,91 @@
+package graft
+
+import graft.functions.{Multimodal, TextSketch}
+import graft.icelite.IceLite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class StreamingAndMultimodalSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-test2")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("availableNow streaming extraction drains the snapshot and is resumable") {
+    val (pagesDir, _) = SparkEntry.microTables(spark)
+    val run = s"${SparkEntry.SynthRoot}/stream_test_${System.nanoTime()}"
+    val q = graft.streaming.StreamingExtract.availableNow(
+      spark, s"$pagesDir/data/*.parquet", s"$run/out", s"$run/ckpt")
+    q.awaitTermination()
+    val out = spark.read.parquet(s"$run/out")
+    val expected = IceLite.read(spark, pagesDir).count()
+    assert(out.count() == expected)
+    // second run with the same checkpoint: nothing new to process
+    val q2 = graft.streaming.StreamingExtract.availableNow(
+      spark, s"$pagesDir/data/*.parquet", s"$run/out", s"$run/ckpt")
+    q2.awaitTermination()
+    assert(spark.read.parquet(s"$run/out").count() == expected)
+  }
+
+  test("windowed streaming agg over crawl timestamps produces rows") {
+    val (pagesDir, _) = SparkEntry.microTables(spark)
+    val agg = graft.streaming.StreamingExtract.rateByWindow(spark, s"$pagesDir/data/*.parquet")
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName(s"rate_${System.nanoTime()}")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val name = q.name
+    assert(spark.sql(s"SELECT * FROM $name").count() > 0)
+  }
+
+  test("multimodal: thumbnail arithmetic, frame sampling, batched features") {
+    assert(Multimodal.thumbDims(1024, 512) == (256, 128))
+    assert(Multimodal.thumbDims(512, 1024) == (128, 256))
+    assert(Multimodal.thumbDims(100, 1) == (256, 2))
+    assert(Multimodal.thumbDims(1000, 1) == (256, 1)) // min 1px
+    assert(Multimodal.sampleFrames(4) == Seq(0, 1, 2, 3))
+    assert(Multimodal.sampleFrames(100, 4) == Seq(0, 25, 50, 75))
+    assert(Multimodal.sampleFrames(0).isEmpty)
+
+    val stats = Multimodal.featureStats(spark, 300L).collect()
+    assert(stats.map(_.getAs[String]("kind")).toSet == Set("image", "audio", "video"))
+    val video = stats.find(_.getAs[String]("kind") == "video").get
+    assert(video.getAs[Long]("sum_sampled_frames") > 0)
+    // deterministic across runs
+    val again = Multimodal.featureStats(spark, 300L).collect()
+    assert(stats.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
+  test("simhash: near-identical texts are close, different texts far") {
+    val a = "the quick brown fox jumps over the lazy dog again and again today"
+    val b = a.replace("today", "tomorrow")
+    val c = "completely unrelated content about maritime navigation charts"
+    assert(TextSketch.hamming(TextSketch.simhash64(a), TextSketch.simhash64(b)) < 16)
+    assert(TextSketch.hamming(TextSketch.simhash64(a), TextSketch.simhash64(c)) > 16)
+  }
+
+  test("minhash estimates jaccard; identical docs share all bands") {
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val sa = TextSketch.minhashSignature(a)
+    assert(TextSketch.estJaccard(sa, TextSketch.minhashSignature(a)) == 1.0)
+    val half = "alpha beta gamma delta epsilon zeta different words here now"
+    val est = TextSketch.estJaccard(sa, TextSketch.minhashSignature(half))
+    assert(est > 0.05 && est < 0.9)
+  }
+
+  test("ann lsh topk returns ranked neighbors per query") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val res = TextSketch.annTopK(emb).collect()
+    assert(res.nonEmpty)
+    val byQuery = res.groupBy(_.getAs[Long]("query_id"))
+    byQuery.foreach { case (_, rows) =>
+      assert(rows.map(_.getAs[Long]("rank")).toSeq.sorted == (1L to rows.length))
+    }
+  }
+}
