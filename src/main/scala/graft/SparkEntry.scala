@@ -262,6 +262,54 @@ object SparkEntry {
         .orderBy("hour", "event_type")
     }),
 
+    "q18_cube_docs" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .cube(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .select(coalesce(col("lang"), lit("ALL")).as("lang"),
+          coalesce(col("source"), lit("ALL")).as("source"),
+          col("n_docs"), col("sum_chars"))
+        .orderBy("lang", "source")
+    }),
+    "q19_running_sum" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "events")
+        .filter(col("user_id") < 10)
+        .select(col("user_id"), col("event_id"),
+          sum(floor(col("value") * 100).cast("long")).over(w).as("running_cents"))
+        .orderBy("user_id", "event_id")
+    }),
+    "q20_segment_revenue" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100).cast("long")).as("revenue_cents"))
+        .orderBy("c_mktsegment")
+    }),
+    "q21_cosine_native" -> ((s, dir) => {
+      // same semantics as q13 but scored by the native codegen
+      // CosineSim expression instead of aggregate(zip_with(...))
+      graft.functions.CosineSim.register(s)
+      val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val q = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val scored = emb.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          expr("cosine_sim(qv, embedding)").as("cos"))
+      val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("vec_id").as("neighbor_id"))
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- extraction pipeline (rows-only: not SQL-expressible) ----
     "x01_extract_plain" -> ((s, _) => {
       val (pagesDir, _) = microTables(s)
@@ -495,5 +543,35 @@ object SparkEntry {
         |  count(*) AS n,
         |  sum(CAST(floor(value * 100) AS BIGINT)) AS value_cents
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    "q18_cube_docs" ->
+      """SELECT coalesce(lang, 'ALL') AS lang, coalesce(source, 'ALL') AS source,
+        |  count(*) AS n_docs, sum(n_chars) AS sum_chars
+        |FROM documents GROUP BY CUBE (lang, source)
+        |ORDER BY lang, source""".stripMargin,
+    "q19_running_sum" ->
+      """SELECT user_id, event_id,
+        |  sum(CAST(floor(value * 100) AS BIGINT)) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_cents
+        |FROM events WHERE user_id < 10
+        |ORDER BY user_id, event_id""".stripMargin,
+    "q20_segment_revenue" ->
+      """SELECT c_mktsegment, count(*) AS n_lines,
+        |  sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS revenue_cents
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q21_cosine_native" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id,
+        |    list_dot_product(qv, v) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) AS cos
+        |  FROM e, q WHERE e.vec_id <> q.query_id),
+        |r AS (SELECT query_id, vec_id,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id AS neighbor_id
+        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
   )
 }

@@ -40,9 +40,19 @@ object Pipeline {
   private def shufflePartitions(spark: SparkSession): Int =
     spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
 
-  /** Single-mode extraction over a `pages`-shaped DataFrame. */
+  /** Single-mode extraction over a `pages`-shaped DataFrame.
+    *
+    * Map-only by default: extraction is a pure per-row function, so the
+    * payload bytes never cross the network — at 10^12-document scale,
+    * shuffling raw html is the anti-pattern; balance comes from source
+    * splits (`maxPartitionBytes`) and the `MaxDocBytes` kernel guard.
+    * The salted url-host repartition (north rule) applies where a
+    * shuffle is REQUIRED anyway: grouped reassembly (multipage/chunked),
+    * per-host aggregation, and the lineage shard assignment — pass
+    * `repartitionByHost = true` to force it here too (e.g. when source
+    * files are host-clustered AND pathologically size-skewed). */
   def extract(pages: DataFrame, mode: ExtractMode,
-      numPartitions: Int = 0, repartitionByHost: Boolean = true): Dataset[ExtractedDoc] = {
+      numPartitions: Int = 0, repartitionByHost: Boolean = false): Dataset[ExtractedDoc] = {
     val spark = pages.sparkSession
     import spark.implicits._
     val p = if (numPartitions > 0) numPartitions else shufflePartitions(spark)
@@ -60,9 +70,8 @@ object Pipeline {
   def extractWithModes(rows: DataFrame, numPartitions: Int = 0): Dataset[ExtractedDoc] = {
     val spark = rows.sparkSession
     import spark.implicits._
-    val p = if (numPartitions > 0) numPartitions else shufflePartitions(spark)
-    val narrowed = saltedByHost(
-      rows.select(col("url"), col("warc_ts"), col("html"), col("mode"), col("mode_args")), p)
+    val narrowed =
+      rows.select(col("url"), col("warc_ts"), col("html"), col("mode"), col("mode_args"))
     narrowed.as[(String, java.sql.Timestamp, Array[Byte], String, String)].mapPartitions { it =>
       it.map { case (url, ts, html, modeStr, args) =>
         val mode = ExtractMode.parse(modeStr, args)
@@ -114,8 +123,9 @@ object Pipeline {
   def extractChunked(pages: DataFrame, numPartitions: Int = 0): DataFrame = {
     val spark = pages.sparkSession
     import spark.implicits._
-    val p = if (numPartitions > 0) numPartitions else shufflePartitions(spark)
-    val narrowed = saltedByHost(pages.select(col("url"), col("warc_ts"), col("html")), p)
+    // map-side chunking emits RENDERED text (small); only that shuffles
+    // in the groupBy below — the payload bytes never do
+    val narrowed = pages.select(col("url"), col("warc_ts"), col("html"))
     val chunks = narrowed.as[(String, java.sql.Timestamp, Array[Byte])].flatMap {
       case (url, ts, html) => chunkOne(url, ts, html)
     }
