@@ -385,6 +385,28 @@ object SparkEntry {
     "x08_minhash_lsh_pairs" -> ((s, dir) => {
       graft.functions.TextSketch.lshCandidatePairs(t(s, dir, "documents"))
     }),
+    "x13_langid_ngram" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents").select(col("doc_id"), col("lang"), col("text"))
+        .as[(Long, String, String)]
+        .map { case (_, lang, text) => (lang, graft.functions.LangId.detect(text)) }
+        .toDF("lang", "predicted")
+        .groupBy(col("lang"), col("predicted"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang", "predicted")
+    }),
+    "x14_fingerprints" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .flatMap { case (id, text) =>
+          graft.functions.TextSketch.fingerprints(text).map(f => (id, f)) }
+        .toDF("doc_id", "fp")
+        .groupBy(col("fp")).agg(collect_set(col("doc_id")).as("docs"))
+        .filter(size(col("docs")) > 1)
+        .select(col("fp"), size(col("docs")).as("n_docs"))
+        .orderBy("fp")
+    }),
     "x10_ann_lsh" -> ((s, dir) =>
       graft.functions.TextSketch.annTopK(t(s, dir, "embeddings"))),
     "x11_multimodal_features" -> ((s, _) =>

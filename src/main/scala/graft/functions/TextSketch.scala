@@ -115,6 +115,40 @@ object TextSketch {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Rolling-hash document fingerprints (Rabin-Karp windows, winnowed to
+    * the k smallest — the "keep min-k" selection is order-independent,
+    * so fingerprints are stable under any chunking of the document). */
+  def fingerprints(text: String, window: Int = 32, k: Int = 8): Array[Long] = {
+    val n = text.length
+    if (n == 0) return Array.empty
+    if (n <= window) return Array(Hash64.xxh64(text, 0xf19e5L))
+    val B = 0x100000001b3L // polynomial base (FNV prime)
+    var pow = 1L
+    var i = 0
+    while (i < window - 1) { pow *= B; i += 1 }
+    var h = 0L
+    i = 0
+    while (i < window) { h = h * B + text.charAt(i); i += 1 }
+    // min-k selection via a bounded priority set
+    val heap = new java.util.PriorityQueue[java.lang.Long](k + 1, java.util.Collections.reverseOrder())
+    def offer(v: Long): Unit = {
+      // mix the raw polynomial hash so min-k isn't biased by char values
+      val m = Hash64.xxh64(java.lang.Long.toHexString(v), 0xf19e5L)
+      if (heap.size < k) { if (!heap.contains(m)) heap.add(m) }
+      else if (m < heap.peek() && !heap.contains(m)) { heap.poll(); heap.add(m) }
+    }
+    offer(h)
+    i = window
+    while (i < n) {
+      h = (h - text.charAt(i - window) * pow) * B + text.charAt(i)
+      offer(h)
+      i += 1
+    }
+    val out = heap.toArray.map(_.asInstanceOf[java.lang.Long].longValue())
+    java.util.Arrays.sort(out)
+    out
+  }
+
   // ------------------------------------------------- ANN (embeddings)
 
   /** Random-hyperplane LSH bucket for a float vector: bit b = sign of

@@ -17,9 +17,10 @@ final case class TextRun(text: String, startByte: Int, endByte: Int) extends Htm
 final case class CommentTok(text: String, startByte: Int, endByte: Int) extends HtmlToken
 final case class DoctypeTok(text: String, startByte: Int, endByte: Int) extends HtmlToken
 
-/** Decoded characters plus a char-index → byte-offset map (length
-  * chars+1; last entry = total byte length). */
-final class Decoded(val chars: Array[Char], val byteOff: Array[Int])
+/** Decoded characters plus a char-index → byte-offset map. `nChars` is
+  * the logical length (the arrays may be oversized reusable scratch);
+  * byteOff(nChars) = total byte length. */
+final class Decoded(val chars: Array[Char], val byteOff: Array[Int], val nChars: Int)
 
 /** From-scratch HTML5-style tokenizer (data / tag / attribute / comment /
   * doctype / RAWTEXT / RCDATA / CDATA states), lenient on hostile bytes:
@@ -65,12 +66,39 @@ object Html5Tokenizer {
 
   /** Lenient decode with byte-offset tracking. Invalid UTF-8 sequences
     * become U+FFFD advancing one byte (never throws). */
-  def decode(bytes: Array[Byte], charset: String): Decoded = {
+  /** Per-thread reusable decode buffers: the decoder's 6-bytes-per-input-
+    * byte transient allocation was the kernel's dominant GC pressure at
+    * high parallelism (allocation-stall measured at local[32]); the
+    * tokenizer consumes the Decoded fully before the next document, so
+    * within `tokenize` the scratch is safe to reuse. */
+  private val scratchChars = new ThreadLocal[Array[Char]] {
+    override def initialValue(): Array[Char] = new Array[Char](64 * 1024)
+  }
+  private val scratchOffs = new ThreadLocal[Array[Int]] {
+    override def initialValue(): Array[Int] = new Array[Int](64 * 1024 + 1)
+  }
+
+  def decode(bytes: Array[Byte], charset: String): Decoded =
+    decodeImpl(bytes, charset, reuse = false)
+
+  private def decodeImpl(bytes: Array[Byte], charset: String, reuse: Boolean): Decoded = {
     val n = bytes.length
     // worst case one char per byte (+1 offset sentinel); primitive arrays,
     // no boxing — this runs once per document byte
-    val chars = new Array[Char](n)
-    val offs = new Array[Int](n + 1)
+    val chars =
+      if (!reuse) new Array[Char](n)
+      else {
+        var c = scratchChars.get()
+        if (c.length < n) { c = new Array[Char](n + (n >> 1)); scratchChars.set(c) }
+        c
+      }
+    val offs =
+      if (!reuse) new Array[Int](n + 1)
+      else {
+        var o = scratchOffs.get()
+        if (o.length < n + 1) { o = new Array[Int](n + (n >> 1) + 1); scratchOffs.set(o) }
+        o
+      }
     var k = 0
     @inline def put(c: Char, at: Int): Unit = { chars(k) = c; offs(k) = at; k += 1 }
     charset match {
@@ -109,19 +137,18 @@ object Html5Tokenizer {
         }
     }
     offs(k) = n
-    if (k == n) new Decoded(chars, java.util.Arrays.copyOf(offs, n + 1))
-    else new Decoded(java.util.Arrays.copyOf(chars, k), java.util.Arrays.copyOf(offs, k + 1))
+    new Decoded(chars, offs, k)
   }
 
   def tokenize(bytes: Array[Byte]): Vector[HtmlToken] = {
-    val d = decode(bytes, sniffCharset(bytes))
+    val d = decodeImpl(bytes, sniffCharset(bytes), reuse = true)
     tokenizeDecoded(d)
   }
 
   def tokenizeDecoded(d: Decoded): Vector[HtmlToken] = {
     val s = d.chars
     val off = d.byteOff
-    val n = s.length
+    val n = d.nChars
     val out = Vector.newBuilder[HtmlToken]
 
     // pending text accumulation
@@ -172,7 +199,7 @@ object Html5Tokenizer {
         if (end > i) {
           if (rcdataMode) {
             // entity-decode RCDATA (batched between '&'s)
-            val seq = new ArrayCharSeq(s)
+            val seq = new ArrayCharSeq(s, n)
             var k = i
             while (k < end) {
               if (s(k) == '&') {
@@ -207,13 +234,13 @@ object Html5Tokenizer {
             if (c1 == '!') {
               flushText()
               if (lowerAt(i, "<!--")) {
-                val close = indexOfLit(s, i + 4, "-->")
+                val close = indexOfLit(s, i + 4, n, "-->")
                 val end = if (close >= 0) close + 3 else n
                 val body = new String(s, i + 4, math.max(0, (if (close >= 0) close else n) - (i + 4)))
                 out += CommentTok(body, off(i), off(end))
                 i = end
               } else if (lowerAt(i, "<![cdata[")) {
-                val close = indexOfLit(s, i + 9, "]]>")
+                val close = indexOfLit(s, i + 9, n, "]]>")
                 val end = if (close >= 0) close + 3 else n
                 val body = new String(s, i + 9, math.max(0, (if (close >= 0) close else n) - (i + 9)))
                 addText(body, i, end); flushText()
@@ -245,7 +272,7 @@ object Html5Tokenizer {
               } else { addText("<", i, i + 1); i += 1 } // "</3" is text
             } else if (Character.isLetter(c1)) {
               flushText()
-              val (tok, next) = parseStartTag(s, off, i)
+              val (tok, next) = parseStartTag(s, off, n, i)
               out += tok
               i = next
               if (!tok.selfClosing) {
@@ -255,7 +282,7 @@ object Html5Tokenizer {
             } else { addText("<", i, i + 1); i += 1 }
           }
         } else if (c == '&') {
-          val (dec, len) = Entities.decodeAt(new ArrayCharSeq(s), i)
+          val (dec, len) = Entities.decodeAt(new ArrayCharSeq(s, n), i)
           addText(dec, i, i + len)
           i += len
         } else {
@@ -271,9 +298,8 @@ object Html5Tokenizer {
     out.result()
   }
 
-  private def indexOfLit(s: Array[Char], from: Int, lit: String): Int = {
+  private def indexOfLit(s: Array[Char], from: Int, n: Int, lit: String): Int = {
     var i = from
-    val n = s.length
     while (i + lit.length <= n) {
       var k = 0
       var ok = true
@@ -286,8 +312,7 @@ object Html5Tokenizer {
 
   /** Parse `<name attr=... >` starting at `i` (s(i)=='<'). Returns the
     * token and the char index after '>'. Lenient at EOF. */
-  private def parseStartTag(s: Array[Char], off: Array[Int], i0: Int): (TagOpen, Int) = {
-    val n = s.length
+  private def parseStartTag(s: Array[Char], off: Array[Int], n: Int, i0: Int): (TagOpen, Int) = {
     var i = i0 + 1
     val nameStart = i
     while (i < n && (Character.isLetterOrDigit(s(i)) || s(i) == '-' || s(i) == ':')) i += 1
@@ -344,10 +369,10 @@ object Html5Tokenizer {
     b.toString
   }
 
-  private final class ArrayCharSeq(a: Array[Char]) extends CharSequence {
-    def length: Int = a.length
+  private final class ArrayCharSeq(a: Array[Char], n: Int) extends CharSequence {
+    def length: Int = n
     def charAt(i: Int): Char = a(i)
     def subSequence(s: Int, e: Int): CharSequence = new String(a, s, e - s)
-    override def toString: String = new String(a)
+    override def toString: String = new String(a, 0, n)
   }
 }
