@@ -31,5 +31,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   // local[32] = 32 executor threads in ONE JVM; a small heap makes GC the
   // shared bottleneck and destroys scaling. 125 GiB box → default high.
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // Pin + pre-touch: without -Xms the heap grows mid-run and the page
+  // fault storm (fresh-page commit) dominates wall time, 10x run-to-run
+  // variance in benchmarks. Pre-touch moves that cost to JVM startup.
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  "-XX:+AlwaysPreTouch",
 )

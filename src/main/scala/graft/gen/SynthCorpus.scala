@@ -438,17 +438,26 @@ object SynthCorpus {
 
   import org.apache.spark.sql.{Dataset, SparkSession}
 
+  /** Output file count: real crawls have files >> cores (a 100 TB table
+    * is ~800k 128MB files). One parquet file here = one row group = one
+    * input split, so anything less than ~4x cores caps scan parallelism
+    * and single fat row groups create straggler tasks (observed: 8 files
+    * x 79MB/1 row group => 8 fat tasks, flat 8->32 core scaling). */
+  private def nFiles(spark: SparkSession, nDocs: Long): Int =
+    math.min(512, math.max(spark.sparkContext.defaultParallelism * 4,
+      (nDocs / 4000L).toInt + 1))
+
   def pages(spark: SparkSession, nDocs: Long): Dataset[PageRow] = {
     import spark.implicits._
     val n = nDocs
-    spark.range(nDocs).repartition(spark.sparkContext.defaultParallelism)
+    spark.range(nDocs).repartition(nFiles(spark, nDocs))
       .flatMap(i => docRows(i, n)._1)
   }
 
   def golden(spark: SparkSession, nDocs: Long): Dataset[GoldenRow] = {
     import spark.implicits._
     val n = nDocs
-    spark.range(nDocs).repartition(spark.sparkContext.defaultParallelism)
+    spark.range(nDocs).repartition(nFiles(spark, nDocs))
       .flatMap(i => docRows(i, n)._2)
   }
 
