@@ -310,6 +310,27 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "q22_embed_neardup" -> ((s, dir) => {
+      // embedding-cosine near-duplicate pairs (dedup family, SURVEY
+      // training-data ops). Brute-force pairwise here is the ORACLE
+      // semantics; the 10^9-vector scale path is the LSH-bucketed
+      // variant (x10_ann_lsh): hyperplane-bucket join, then this same
+      // cosine test only within buckets.
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+      def dot(x: Column, y: Column): Column =
+        aggregate(zip_with(x, y, (a, b) => a * b), lit(0.0), (acc, e) => acc + e)
+      val a = emb.select(col("vec_id").as("vec_a"), col("v").as("va"))
+      val b = emb.select(col("vec_id").as("vec_b"), col("v").as("vb"))
+      a.join(b, col("vec_a") < col("vec_b"))
+        .select(col("vec_a"), col("vec_b"),
+          (dot(col("va"), col("vb")) /
+            (sqrt(dot(col("va"), col("va"))) * sqrt(dot(col("vb"), col("vb"))))).as("cos"))
+        .filter(col("cos") >= 0.92)
+        .select(col("vec_a"), col("vec_b"))
+        .orderBy("vec_a", "vec_b")
+    }),
+
     // ---- extraction pipeline (rows-only: not SQL-expressible) ----
     "x01_extract_plain" -> ((s, _) => {
       val (pagesDir, _) = microTables(s)
@@ -583,6 +604,13 @@ object SparkEntry {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q22_embed_neardup" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)
+        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE list_dot_product(a.v, b.v) /
+        |  (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.92
+        |ORDER BY vec_a, vec_b""".stripMargin,
     "q21_cosine_native" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),

@@ -59,19 +59,20 @@ object Dom {
   /** Collapse [ \t\n\r\f]+ → ' ', honor BR sentinels as hard newlines;
     * leading/trailing hard newlines are stripped. Single streaming pass
     * (this runs once per block — no regex, no intermediate strings). */
-  private[graft] def normalize(raw: String): String = {
-    val b = new StringBuilder(raw.length)
+  private[graft] def normalize(raw: CharSequence): String = {
+    val len = raw.length
+    val b = new java.lang.StringBuilder(len)
     var ws = false
     var i = 0
-    while (i < raw.length) {
+    while (i < len) {
       val c = raw.charAt(i)
       if (c == BrSentinel) {
-        if (b.nonEmpty) b.append('\n') // skip leading hard newlines
+        if (b.length > 0) b.append('\n') // skip leading hard newlines
         ws = false
       } else if (c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f') {
         ws = true
       } else {
-        if (ws && b.nonEmpty && b.charAt(b.length - 1) != '\n') b.append(' ')
+        if (ws && b.length > 0 && b.charAt(b.length - 1) != '\n') b.append(' ')
         ws = false
         b.append(c)
       }
@@ -114,12 +115,12 @@ object Dom {
     var tblSpanEnd = -1L
 
     def flush(elemEnd: Long): Unit = {
-      val raw = curText.toString
       val text =
         if (curPre) {
+          val raw = curText.toString
           val t = if (raw.startsWith("\n")) raw.substring(1) else raw
           t.replace(BrSentinel, '\n')
-        } else normalize(raw)
+        } else normalize(curText)
       if (text.nonEmpty) {
         out += Block(curKind, text, Vector.empty, curCls, curStyle, curLink,
           text.length, boilerDepth > 0, spanStart, spanEnd, curElemStart,
@@ -201,7 +202,7 @@ object Dom {
           } else if (tableDepth > 0) {
             name match {
               case "td" | "th" =>
-                if (inCell) { tblRow += Dom.normalize(tblCell.toString); inCell = false }
+                if (inCell) { tblRow += Dom.normalize(tblCell); inCell = false }
               case "tr" =>
                 if (tblRow.nonEmpty) { tblRows += tblRow.toVector; tblRow.clear() }
               case _ => ()

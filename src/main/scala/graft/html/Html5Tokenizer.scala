@@ -19,8 +19,13 @@ final case class DoctypeTok(text: String, startByte: Int, endByte: Int) extends 
 
 /** Decoded characters plus a char-index → byte-offset map. `nChars` is
   * the logical length (the arrays may be oversized reusable scratch);
-  * byteOff(nChars) = total byte length. */
-final class Decoded(val chars: Array[Char], val byteOff: Array[Int], val nChars: Int)
+  * off(nChars) = total byte length. When `identityOffs` (single-byte
+  * charsets, pure-ASCII UTF-8 — the common crawl case) the offset array
+  * is never materialized: char index == byte offset. */
+final class Decoded(val chars: Array[Char], val byteOff: Array[Int], val nChars: Int,
+    val identityOffs: Boolean = false) {
+  @inline def off(i: Int): Int = if (identityOffs) i else byteOff(i)
+}
 
 /** From-scratch HTML5-style tokenizer (data / tag / attribute / comment /
   * doctype / RAWTEXT / RCDATA / CDATA states), lenient on hostile bytes:
@@ -92,6 +97,24 @@ object Html5Tokenizer {
         if (c.length < n) { c = new Array[Char](n + (n >> 1)); scratchChars.set(c) }
         c
       }
+    charset match {
+      case "iso-8859-1" | "windows-1252" =>
+        // single-byte charsets: char index == byte offset, no offs array
+        val win = charset == "windows-1252"
+        var i = 0
+        while (i < n) {
+          val b = bytes(i) & 0xff
+          chars(i) = if (win && b >= 0x80 && b <= 0x9f) cp1252High(b - 0x80) else b.toChar
+          i += 1
+        }
+        return new Decoded(chars, null, n, identityOffs = true)
+      case _ => ()
+    }
+    // utf-8: widen the ASCII prefix with a tight branch-light loop; most
+    // crawl payloads are pure ASCII and never leave it
+    var asc = 0
+    while (asc < n && bytes(asc) >= 0) { chars(asc) = bytes(asc).toChar; asc += 1 }
+    if (asc == n) return new Decoded(chars, null, n, identityOffs = true)
     val offs =
       if (!reuse) new Array[Int](n + 1)
       else {
@@ -101,18 +124,10 @@ object Html5Tokenizer {
       }
     var k = 0
     @inline def put(c: Char, at: Int): Unit = { chars(k) = c; offs(k) = at; k += 1 }
-    charset match {
-      case "iso-8859-1" | "windows-1252" =>
-        val win = charset == "windows-1252"
-        var i = 0
-        while (i < n) {
-          val b = bytes(i) & 0xff
-          put(if (win && b >= 0x80 && b <= 0x9f) cp1252High(b - 0x80) else b.toChar, i)
-          i += 1
-        }
-      case _ => // utf-8
-        var i = 0
-        while (i < n) {
+    // identity offsets for the already-decoded ASCII prefix
+    while (k < asc) { offs(k) = k; k += 1 }
+    var i = asc
+    while (i < n) {
           val b0 = bytes(i) & 0xff
           if (b0 < 0x80) { put(b0.toChar, i); i += 1 }
           else if ((b0 & 0xe0) == 0xc0 && i + 1 < n && (bytes(i + 1) & 0xc0) == 0x80) {
@@ -134,7 +149,6 @@ object Html5Tokenizer {
               i += 4
             } else { put('�', i); i += 1 }
           } else { put('�', i); i += 1 }
-        }
     }
     offs(k) = n
     new Decoded(chars, offs, k)
@@ -147,36 +161,46 @@ object Html5Tokenizer {
 
   def tokenizeDecoded(d: Decoded): Vector[HtmlToken] = {
     val s = d.chars
-    val off = d.byteOff
+    val identity = d.identityOffs
+    val bo = d.byteOff
+    @inline def off(i: Int): Int = if (identity) i else bo(i)
     val n = d.nChars
     val out = Vector.newBuilder[HtmlToken]
 
     // pending text accumulation
-    val text = new StringBuilder
+    val text = new java.lang.StringBuilder
     var textStart = -1 // char index of first char in the run
     var textEnd = -1   // char index AFTER the last consumed char
     @inline def flushText(): Unit = {
-      if (text.nonEmpty) {
+      if (text.length > 0) {
         out += TextRun(text.toString, off(textStart), off(textEnd))
-        text.clear()
+        text.setLength(0)
       }
       textStart = -1; textEnd = -1
     }
     @inline def addText(str: String, cs: Int, ce: Int): Unit = {
-      if (text.isEmpty) textStart = cs
+      if (text.length == 0) textStart = cs
       text.append(str)
       textEnd = ce
+    }
+    // zero-copy variant for runs still sitting in the decode buffer
+    @inline def addTextRaw(from: Int, until: Int): Unit = {
+      if (text.length == 0) textStart = from
+      text.append(s, from, until - from)
+      textEnd = until
     }
 
     var i = 0
     var rawMode: String = null // element name whose raw content we are in
     var rcdataMode = false
 
+    // lit is lowercase ASCII; compare with ASCII case folding only
     @inline def lowerAt(pos: Int, lit: String): Boolean = {
       if (pos + lit.length > n) return false
       var k = 0
       while (k < lit.length) {
-        if (Character.toLowerCase(s(pos + k)) != lit.charAt(k)) return false
+        val c = s(pos + k); val lc = lit.charAt(k)
+        if (c != lc && (c < 'A' || c > 'Z' || (c + 32) != lc)) return false
         k += 1
       }
       true
@@ -208,11 +232,11 @@ object Html5Tokenizer {
               } else {
                 var j = k + 1
                 while (j < end && s(j) != '&') j += 1
-                addText(new String(s, k, j - k), k, j); k = j
+                addTextRaw(k, j); k = j
               }
             }
           } else {
-            addText(new String(s, i, end - i), i, end)
+            addTextRaw(i, end)
           }
         }
         flushText()
@@ -265,14 +289,15 @@ object Html5Tokenizer {
                 var j = i + 2
                 while (j < n && s(j) != '>') j += 1
                 val end = if (j < n) j + 1 else n
-                val raw = new String(s, i + 2, math.max(0, j - (i + 2)))
-                val name = raw.takeWhile(ch => !Character.isWhitespace(ch)).toLowerCase
+                var ne = i + 2
+                while (ne < j && !Character.isWhitespace(s(ne))) ne += 1
+                val name = lowerString(s, i + 2, math.max(0, ne - (i + 2)))
                 out += TagClose(name, off(i), off(end))
                 i = end
               } else { addText("<", i, i + 1); i += 1 } // "</3" is text
             } else if (Character.isLetter(c1)) {
               flushText()
-              val (tok, next) = parseStartTag(s, off, n, i)
+              val (tok, next) = parseStartTag(s, d, n, i)
               out += tok
               i = next
               if (!tok.selfClosing) {
@@ -289,13 +314,34 @@ object Html5Tokenizer {
           // batch the plain-text run up to the next delimiter (hot path)
           var j = i + 1
           while (j < n && s(j) != '<' && s(j) != '&') j += 1
-          addText(new String(s, i, j - i), i, j)
+          addTextRaw(i, j)
           i = j
         }
       }
     }
     flushText()
     out.result()
+  }
+
+  /** ASCII-lowercased string from a char range — the HTML5 tag/attr name
+    * rule (ASCII case-insensitivity only); allocation-free when already
+    * lowercase would still need the String, so single pass either way. */
+  private def lowerString(a: Array[Char], from: Int, len: Int): String = {
+    var k = 0; var hasUpper = false
+    while (k < len) {
+      val c = a(from + k)
+      if (c >= 'A' && c <= 'Z') { hasUpper = true; k = len } else k += 1
+    }
+    if (!hasUpper) new String(a, from, len)
+    else {
+      val out = new Array[Char](len); var j = 0
+      while (j < len) {
+        val c = a(from + j)
+        out(j) = if (c >= 'A' && c <= 'Z') (c + 32).toChar else c
+        j += 1
+      }
+      new String(out)
+    }
   }
 
   private def indexOfLit(s: Array[Char], from: Int, n: Int, lit: String): Int = {
@@ -312,11 +358,12 @@ object Html5Tokenizer {
 
   /** Parse `<name attr=... >` starting at `i` (s(i)=='<'). Returns the
     * token and the char index after '>'. Lenient at EOF. */
-  private def parseStartTag(s: Array[Char], off: Array[Int], n: Int, i0: Int): (TagOpen, Int) = {
+  private def parseStartTag(s: Array[Char], d: Decoded, n: Int, i0: Int): (TagOpen, Int) = {
+    @inline def off(i: Int): Int = d.off(i)
     var i = i0 + 1
     val nameStart = i
     while (i < n && (Character.isLetterOrDigit(s(i)) || s(i) == '-' || s(i) == ':')) i += 1
-    val name = new String(s, nameStart, i - nameStart).toLowerCase
+    val name = lowerString(s, nameStart, i - nameStart)
     val attrs = List.newBuilder[(String, String)]
     var selfClosing = false
     var done = false
@@ -331,7 +378,7 @@ object Html5Tokenizer {
         // attribute name
         val as = i
         while (i < n && !Character.isWhitespace(s(i)) && s(i) != '=' && s(i) != '>' && s(i) != '/') i += 1
-        val aname = new String(s, as, i - as).toLowerCase
+        val aname = lowerString(s, as, i - as)
         while (i < n && Character.isWhitespace(s(i))) i += 1
         var avalue = ""
         if (i < n && s(i) == '=') {
