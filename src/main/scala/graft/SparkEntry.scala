@@ -336,7 +336,7 @@ object SparkEntry {
       val (pagesDir, _) = microTables(s)
       Pipeline.extract(IceLite.read(s, pagesDir), ExtractMode.Plain).toDF()
         .select(col("url"), col("mode"), col("status"), col("text"),
-          element_at(col("metrics"), "blocks_kept").as("blocks_kept"))
+          col("metrics.blocks_kept").as("blocks_kept"))
         .orderBy("url")
     }),
     "x02_golden_match" -> ((s, _) => entry(s)),

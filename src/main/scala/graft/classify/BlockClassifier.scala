@@ -38,12 +38,13 @@ object BlockClassifier {
     else b.words >= MinFreeTextWords
   }
 
-  /** Per-doc classification metrics for the lineage table (SURVEY.md A9). */
-  def metrics(blocks: Seq[Block]): Map[String, Long] = {
+  /** Per-doc classification stats (kept, dropped, keptChars) for the
+    * lineage table (SURVEY.md A9). */
+  def stats(blocks: Seq[Block]): (Long, Long, Long) = {
     var kept = 0L; var dropped = 0L; var keptChars = 0L
     blocks.foreach { b =>
       if (keep(b)) { kept += 1; keptChars += b.text.length } else dropped += 1
     }
-    Map("blocks_kept" -> kept, "blocks_dropped" -> dropped, "kept_chars" -> keptChars)
+    (kept, dropped, keptChars)
   }
 }

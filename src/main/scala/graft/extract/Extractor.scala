@@ -8,8 +8,19 @@ import java.nio.charset.StandardCharsets.UTF_8
 /** Byte span into the ORIGINAL payload (BASELINE.json: span offsets). */
 final case class Span(start: Long, end: Long, kind: String)
 
+/** Fixed-width per-doc metrics. A struct, deliberately NOT a
+  * Map[String,Long]: at 10^12 rows a map costs ~8 allocated UTF8String
+  * keys + boxed values per row in Catalyst serialization; a struct costs
+  * zero per-row allocations and stays codegen-friendly. */
+final case class DocMetrics(bytes_in: Long, is_pdf: Long, blocks_total: Long,
+    blocks_kept: Long, blocks_dropped: Long, kept_chars: Long, out_chars: Long)
+
+object DocMetrics {
+  def quarantined(bytesIn: Long): DocMetrics = DocMetrics(bytesIn, 0L, 0L, 0L, 0L, 0L, 0L)
+}
+
 final case class ExtractResult(text: String, spans: Vector[Span],
-    metrics: Map[String, Long])
+    metrics: DocMetrics)
 
 /** The extraction kernel — the deterministic replacement of the
   * reference's model forward pass (GOT/model/GOT_ocr_2_0.py:230-301).
@@ -70,8 +81,7 @@ object Extractor {
     val text = if (text0.length > MaxOutChars) text0.substring(0, MaxOutChars) else text0
     ExtractResult(text,
       if (text.isEmpty) Vector.empty else Vector(Span(0L, bytes.length.toLong, "pdf")),
-      Map("is_pdf" -> 1L, "bytes_in" -> bytes.length.toLong,
-        "out_chars" -> text.length.toLong))
+      DocMetrics(bytes.length.toLong, 1L, 0L, 0L, 0L, 0L, text.length.toLong))
   }
 
   private def extractHtml(bytes: Array[Byte], mode: ExtractMode): ExtractResult = {
@@ -94,12 +104,10 @@ object Extractor {
     if (format) text = repairLeftRight(text)
     if (text.length > MaxOutChars) text = text.substring(0, MaxOutChars)
     val spans = deduped.map(b => Span(b.startByte, b.endByte, b.kind))
+    val (kept, dropped, keptChars) = BlockClassifier.stats(blocks)
     ExtractResult(text, spans,
-      BlockClassifier.metrics(blocks) ++ Map(
-        "is_pdf" -> 0L,
-        "bytes_in" -> bytes.length.toLong,
-        "blocks_total" -> blocks.length.toLong,
-        "out_chars" -> text.length.toLong))
+      DocMetrics(bytes.length.toLong, 0L, blocks.length.toLong,
+        kept, dropped, keptChars, text.length.toLong))
   }
 
   private def matchesColor(b: Block, color: String): Boolean =

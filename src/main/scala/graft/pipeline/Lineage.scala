@@ -72,13 +72,13 @@ object ResumableRun {
           .agg(
             count(lit(1)).as("row_count_in"),
             sum(when(col("status") === "ok", 1L).otherwise(0L)).as("row_count_out"),
-            sum(coalesce(element_at(col("metrics"), "bytes_in"), lit(0L))).as("bytes_in"),
+            sum(col("metrics.bytes_in")).as("bytes_in"),
             map_from_arrays(
               array(lit("blocks_kept"), lit("quarantined"), lit("pdf_docs")),
               array(
-                sum(coalesce(element_at(col("metrics"), "blocks_kept"), lit(0L))),
+                sum(col("metrics.blocks_kept")),
                 sum(when(col("status") =!= "ok", 1L).otherwise(0L)),
-                sum(coalesce(element_at(col("metrics"), "is_pdf"), lit(0L))))).as("metrics"))
+                sum(col("metrics.is_pdf")))).as("metrics"))
         val lineage = shardList
           .join(agged, Seq("shard"), "left")
           .select(

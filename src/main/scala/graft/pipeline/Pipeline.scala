@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import graft.extract.{ExtractMode, Extractor, Span}
+import graft.extract.{DocMetrics, ExtractMode, Extractor, Span}
 import graft.html.{Dom, Html5Tokenizer}
 import graft.classify.BlockClassifier
 import graft.extract.Chunker
@@ -13,7 +13,7 @@ import org.apache.spark.sql.functions._
   * reference's fallback-to-sample-0, conversation_dataset_qwen.py:226-252). */
 final case class ExtractedDoc(url: String, warc_ts: java.sql.Timestamp,
     mode: String, text: String, spans: Seq[Span], status: String,
-    metrics: Map[String, Long])
+    metrics: DocMetrics)
 
 final case class ChunkRow(url: String, warc_ts: java.sql.Timestamp,
     chunk_idx: Int, n_chunks: Int, text: String, thumbnail: String)
@@ -87,7 +87,7 @@ object Pipeline {
         ExtractedDoc(url, ts, modeName, res.text, res.spans, "ok", res.metrics)
       case Left(reason) =>
         ExtractedDoc(url, ts, modeName, "", Seq.empty, reason,
-          Map("bytes_in" -> (if (html == null) 0L else html.length.toLong)))
+          DocMetrics.quarantined(if (html == null) 0L else html.length.toLong))
     }
 
   /** Quarantine side output (F4): never silently dropped. */

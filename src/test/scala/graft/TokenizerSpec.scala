@@ -110,4 +110,33 @@ class TokenizerSpec extends AnyFunSuite {
       blocks.foreach(b => assert(b.text != null))
     }
   }
+
+  test("ascii fast path (identity offsets) tokenizes identically to an equivalent non-ascii doc structure") {
+    // same markup, ascii-only payload: offsets must equal char indices
+    val s = "<div><p id=a>hello &amp; goodbye</p><br><pre>x\n y</pre></div>"
+    val bytes = s.getBytes(UTF_8)
+    val t = Html5Tokenizer.tokenize(bytes)
+    t.foreach { tok =>
+      assert(tok.startByte >= 0 && tok.endByte <= bytes.length && tok.startByte <= tok.endByte)
+    }
+    val run = t.collect { case x: TextRun => x }.head
+    assert(run.text == "hello & goodbye")
+    assert(run.startByte == s.indexOf("hello")) // identity: char idx == byte off
+    // appending one multi-byte char at the END must not change earlier offsets
+    val s2 = s + "é"
+    val t2 = Html5Tokenizer.tokenize(s2.getBytes(UTF_8))
+    val run2 = t2.collect { case x: TextRun => x }.head
+    assert(run2.startByte == run.startByte && run2.endByte == run.endByte)
+  }
+
+  test("uppercase tags and attrs lowercase via ascii rule only") {
+    val t = toks("""<DIV CLASS="X"><P>t</P></DIV>""")
+    assert(t(0).asInstanceOf[TagOpen].name == "div")
+    assert(t(0).asInstanceOf[TagOpen].attrs == List("class" -> "X")) // values keep case
+    assert(t(1).asInstanceOf[TagOpen].name == "p")
+    assert(t(3) == TagClose("p", 19, 23))
+    // RAWTEXT close-tag match is ascii-case-insensitive
+    val r = toks("<SCRIPT>var a = '<p>';</SCRIPT><p>after</p>")
+    assert(r.collect { case x: TextRun => x.text }.mkString == "var a = '<p>';after")
+  }
 }
