@@ -86,26 +86,42 @@ object Extractor {
 
   private def extractHtml(bytes: Array[Byte], mode: ExtractMode): ExtractResult = {
     val blocks = Dom.blocks(Html5Tokenizer.tokenize(bytes))
-    val selected: Vector[Block] = mode match {
+    // mode-specific selection predicate (density gate unless the user
+    // pointed at a region — reference '[red] OCR:' / box prompts)
+    val select: Block => Boolean = mode match {
       case ExtractMode.Color(color) =>
-        // style-restricted extraction bypasses the density gate: the
-        // user pointed at the region (reference '[red] OCR:').
-        blocks.filter(b => b.text.nonEmpty && !b.inBoilerplateContainer && matchesColor(b, color))
+        b => b.text.nonEmpty && !b.inBoilerplateContainer && matchesColor(b, color)
       case ExtractMode.Box(x1, x2) =>
         val (from, until) = ExtractMode.byteWindow(bytes.length.toLong, x1, x2)
-        blocks.filter(b => BlockClassifier.keep(b) && b.startByte >= from && b.endByte <= until)
-      case _ =>
-        blocks.filter(BlockClassifier.keep)
+        b => BlockClassifier.keep(b) && b.startByte >= from && b.endByte <= until
+      case _ => BlockClassifier.keep
     }
-    val deduped = suppressRepeats(selected)
     val format = mode == ExtractMode.Format
-    val rendered = deduped.map(b => renderBlock(b, format))
-    var text = rendered.mkString("\n")
+    // single pass: select -> repeat-suppress -> render -> span, no
+    // intermediate block Vectors (per-doc allocation is the scale cost)
+    val sb = new java.lang.StringBuilder
+    val spans = Vector.newBuilder[Span]
+    var seen: scala.collection.mutable.HashSet[String] = null // lazy: rare
+    var kept = 0L; var dropped = 0L; var keptChars = 0L
+    blocks.foreach { b =>
+      if (BlockClassifier.keep(b)) { kept += 1; keptChars += b.text.length }
+      else dropped += 1
+      if (select(b)) {
+        val repeat = b.words >= NoRepeatWords && {
+          if (seen == null) seen = scala.collection.mutable.HashSet.empty[String]
+          !seen.add(b.text)
+        }
+        if (!repeat) {
+          if (sb.length > 0) sb.append('\n')
+          if (format) sb.append(renderBlock(b, format = true)) else sb.append(b.text)
+          spans += Span(b.startByte, b.endByte, b.kind)
+        }
+      }
+    }
+    var text = sb.toString
     if (format) text = repairLeftRight(text)
     if (text.length > MaxOutChars) text = text.substring(0, MaxOutChars)
-    val spans = deduped.map(b => Span(b.startByte, b.endByte, b.kind))
-    val (kept, dropped, keptChars) = BlockClassifier.stats(blocks)
-    ExtractResult(text, spans,
+    ExtractResult(text, spans.result(),
       DocMetrics(bytes.length.toLong, 0L, blocks.length.toLong,
         kept, dropped, keptChars, text.length.toLong))
   }
