@@ -115,6 +115,9 @@ object Bench {
     val effSalted = ((n32 / salted32) / (n8 / salted8)) / 4.0
     // hardware parallel-scaling ceiling on this box (BASELINE.md):
     // pure-CPU reference workload at the same two thread counts
+    val hw1 = graft.util.HwCalib.calibrate(1) // absolute host-speed context:
+    // this box's speed drifts with hypervisor burst state (measured 2x over
+    // hours), so docs/sec is only comparable across rounds via this anchor
     val hw8 = graft.util.HwCalib.calibrate(8)
     val hw32 = graft.util.HwCalib.calibrate(32)
     val hwCeiling = (hw32 / hw8) / 4.0
@@ -127,6 +130,7 @@ object Bench {
       s""""docs_per_sec_8":${f"$thr8%.1f"},"docs_per_sec_32":${f"$thr32%.1f"},""" +
       s""""scaling_efficiency":${f"$eff%.3f"},""" +
       s""""hw_ceiling_8_to_32":${f"$hwCeiling%.3f"},""" +
+      s""""hw_calib_1thread_ops_sec":${f"$hw1%.0f"},""" +
       s""""scaling_efficiency_normalized":${f"$effNorm%.3f"},""" +
       s""""salted_secs_8":${f"$salted8%.3f"},"salted_secs_32":${f"$salted32%.3f"},""" +
       s""""salted_scaling_efficiency":${f"$effSalted%.3f"}}"""

@@ -83,7 +83,7 @@ object Dom {
     b.substring(0, end)
   }
 
-  def blocks(tokens: Vector[HtmlToken]): Vector[Block] = {
+  def blocks(tokens: scala.collection.IndexedSeq[HtmlToken]): Vector[Block] = {
     val out = new ArrayBuffer[Block]
 
     var suppressDepth = 0
@@ -145,7 +145,9 @@ object Dom {
       false
     }
 
-    tokens.foreach {
+    var ti = 0
+    val tn = tokens.length
+    while (ti < tn) { tokens(ti) match {
       case t: TagOpen =>
         val name = t.name
         if (suppressTags.contains(name)) {
@@ -237,7 +239,7 @@ object Dom {
           }
         }
       case _ => () // comments, doctype
-    }
+    }; ti += 1 }
     flush(0L)
     out.toVector
   }

@@ -154,18 +154,18 @@ object Html5Tokenizer {
     new Decoded(chars, offs, k)
   }
 
-  def tokenize(bytes: Array[Byte]): Vector[HtmlToken] = {
+  def tokenize(bytes: Array[Byte]): scala.collection.immutable.ArraySeq[HtmlToken] = {
     val d = decodeImpl(bytes, sniffCharset(bytes), reuse = true)
     tokenizeDecoded(d)
   }
 
-  def tokenizeDecoded(d: Decoded): Vector[HtmlToken] = {
+  def tokenizeDecoded(d: Decoded): scala.collection.immutable.ArraySeq[HtmlToken] = {
     val s = d.chars
     val identity = d.identityOffs
     val bo = d.byteOff
     @inline def off(i: Int): Int = if (identity) i else bo(i)
     val n = d.nChars
-    val out = Vector.newBuilder[HtmlToken]
+    val out = Array.newBuilder[HtmlToken]
 
     // pending text accumulation
     val text = new java.lang.StringBuilder
@@ -320,7 +320,7 @@ object Html5Tokenizer {
       }
     }
     flushText()
-    out.result()
+    scala.collection.immutable.ArraySeq.unsafeWrapArray(out.result())
   }
 
   /** ASCII-lowercased string from a char range — the HTML5 tag/attr name
