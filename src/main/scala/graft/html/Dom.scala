@@ -156,7 +156,7 @@ object Dom {
           if (name == "table") {
             if (tableDepth == 0) {
               flush(0L)
-              tblCls = t.attr("class").getOrElse("")
+              tblCls = t.attrOrEmpty("class")
               tblElemStart = t.startByte.toLong
               tblRows.clear(); tblRow.clear(); tblCell.clear(); inCell = false
               tblSpanStart = -1L; tblSpanEnd = -1L
@@ -179,7 +179,7 @@ object Dom {
             flush(0L)
             if (boilerContainers.contains(name)) boilerDepth += 1
             stack += name
-            startBlock(name, t.attr("class").getOrElse(""), t.attr("style").getOrElse(""), t.startByte.toLong)
+            startBlock(name, t.attrOrEmpty("class"), t.attrOrEmpty("style"), t.startByte.toLong)
           }
           // other inline tags (b, i, em, span, code, …) are transparent
         }

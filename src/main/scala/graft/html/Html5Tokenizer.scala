@@ -9,7 +9,17 @@ import scala.collection.mutable.ArrayBuffer
 sealed trait HtmlToken { def startByte: Int; def endByte: Int }
 final case class TagOpen(name: String, attrs: List[(String, String)],
     selfClosing: Boolean, startByte: Int, endByte: Int) extends HtmlToken {
-  def attr(k: String): Option[String] = attrs.collectFirst { case (n, v) if n == k => v }
+  def attr(k: String): Option[String] = {
+    var cur = attrs
+    while (cur.nonEmpty) { if (cur.head._1 == k) return Some(cur.head._2); cur = cur.tail }
+    None
+  }
+  /** Allocation-free variant for the hot path. */
+  def attrOrEmpty(k: String): String = {
+    var cur = attrs
+    while (cur.nonEmpty) { if (cur.head._1 == k) return cur.head._2; cur = cur.tail }
+    ""
+  }
 }
 final case class TagClose(name: String, startByte: Int, endByte: Int) extends HtmlToken
 /** `text` is entity-decoded; the byte span covers the raw (encoded) run. */
@@ -193,6 +203,7 @@ object Html5Tokenizer {
     var i = 0
     var rawMode: String = null // element name whose raw content we are in
     var rcdataMode = false
+    val seq = new ArrayCharSeq(s, n) // shared view for entity decode
 
     // lit is lowercase ASCII; compare with ASCII case folding only
     @inline def lowerAt(pos: Int, lit: String): Boolean = {
@@ -223,7 +234,6 @@ object Html5Tokenizer {
         if (end > i) {
           if (rcdataMode) {
             // entity-decode RCDATA (batched between '&'s)
-            val seq = new ArrayCharSeq(s, n)
             var k = i
             while (k < end) {
               if (s(k) == '&') {
@@ -307,7 +317,7 @@ object Html5Tokenizer {
             } else { addText("<", i, i + 1); i += 1 }
           }
         } else if (c == '&') {
-          val (dec, len) = Entities.decodeAt(new ArrayCharSeq(s, n), i)
+          val (dec, len) = Entities.decodeAt(seq, i)
           addText(dec, i, i + len)
           i += len
         } else {
