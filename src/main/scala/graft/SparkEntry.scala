@@ -430,6 +430,8 @@ object SparkEntry {
     }),
     "x10_ann_lsh" -> ((s, dir) =>
       graft.functions.TextSketch.annTopK(t(s, dir, "embeddings"))),
+    "x15_ann_ivf" -> ((s, dir) =>
+      graft.functions.TextSketch.ivfTopK(t(s, dir, "embeddings"))),
     "x11_multimodal_features" -> ((s, _) =>
       graft.functions.Multimodal.featureStats(s, 2000L)),
     "x12_streaming_extract" -> ((s, _) => {

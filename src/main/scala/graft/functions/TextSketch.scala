@@ -14,7 +14,7 @@ import org.apache.spark.sql.functions._
   * short band/bucket signature — never an all-pairs join. Candidate
   * verification happens within buckets only.
   */
-object TextSketch {
+object TextSketch extends Serializable {
 
   final val ShingleWords = 3
   final val MinHashK = 32
@@ -196,6 +196,85 @@ object TextSketch {
       .select(col("query_id"), col("rank").cast("long").as("rank"),
         col("neighbor_id"), floor(col("cos") * 10000).cast("long").as("cos_x10000"))
       .orderBy("query_id", "rank")
+  }
+
+  /** IVF (inverted-file) ANN — the second scale path beside the
+    * hyperplane LSH (annTopK). Index: K centroids fitted by a few Lloyd
+    * iterations (assignment is a map over broadcast centroids; the
+    * per-cell mean reduction is ONE groupBy of K rows; the K x dim means
+    * collected to the driver are tiny). Search: each query probes its
+    * `nProbe` nearest cells; exact cosine only within probed cells.
+    * At 10^9 vectors the cell assignment is written once as a bucketed
+    * table and queries join on the cell key — never all-pairs. */
+  def ivfTopK(emb: DataFrame, nQueries: Int = 5, k: Int = 5,
+      nCells: Int = 16, nProbe: Int = 4, iters: Int = 2): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val vecs = emb.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])]
+    // deterministic seed centroids: the nCells lowest vec_ids
+    var centroids: Array[Array[Double]] = vecs.filter(_._1 < nCells)
+      .collect().sortBy(_._1).map(_._2.map(_.toDouble))
+    def nearest(cs: Array[Array[Double]], v: Array[Float]): Int = {
+      var best = 0; var bestCos = -2.0
+      var c = 0
+      while (c < cs.length) {
+        val cos = cosineD(cs(c), v)
+        if (cos > bestCos) { bestCos = cos; best = c }
+        c += 1
+      }
+      best
+    }
+    // Lloyd iterations: assign (map) -> per-cell mean (one shuffle of
+    // partial sums) -> tiny driver collect
+    (1 to iters).foreach { _ =>
+      val cs = centroids
+      val means = vecs
+        .map { case (_, v) => (nearest(cs, v), (v.map(_.toDouble), 1L)) }
+        .groupByKey(_._1)
+        .reduceGroups { (a, b) =>
+          val s = a._2._1.clone()
+          var i = 0; while (i < s.length) { s(i) += b._2._1(i); i += 1 }
+          (a._1, (s, a._2._2 + b._2._2))
+        }
+        .map { case (cell, (_, (sum, n))) => (cell, sum.map(_ / n)) }
+        .collect().toMap
+      centroids = centroids.indices.map(c => means.getOrElse(c, centroids(c))).toArray
+    }
+    val cs = centroids
+    val indexed = vecs.map { case (id, v) => (nearest(cs, v), id, v) }
+      .toDF("cell", "vec_id", "v")
+    // each query probes its nProbe nearest cells
+    val queries = vecs.filter(_._1 < nQueries).flatMap { case (id, v) =>
+      val byCos = cs.indices.sortBy(c => -cosineD(cs(c), v)).take(nProbe)
+      byCos.map(c => (c, id, v))
+    }.toDF("cell", "query_id", "qv")
+    val scored = indexed.join(broadcast(queries), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("qv"), col("v"))
+      .as[(Long, Long, Array[Float], Array[Float])]
+      .map { case (qid, vid, qv, v) => (qid, vid, cosine(qv, v)) }
+      .toDF("query_id", "neighbor_id", "cos")
+      // a vector can be reached via several probed cells -> dedupe
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(max(col("cos")).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), floor(col("cos") * 10000).cast("long").as("cos_x10000"))
+      .orderBy("query_id", "rank")
+  }
+
+  def cosineD(a: Array[Double], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < a.length) {
+      dot += a(i) * b(i); na += a(i) * a(i); nb += b(i).toDouble * b(i)
+      i += 1
+    }
+    if (na == 0 || nb == 0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
   def cosine(a: Array[Float], b: Array[Float]): Double = {

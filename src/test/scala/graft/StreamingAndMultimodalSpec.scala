@@ -88,4 +88,29 @@ class StreamingAndMultimodalSpec extends AnyFunSuite {
       assert(rows.map(_.getAs[Long]("rank")).toSeq.sorted == (1L to rows.length))
     }
   }
+
+  test("ivf ann: recall vs brute force, deterministic") {
+    import spark.implicits._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val k = 5
+    val ivf = TextSketch.ivfTopK(emb, nQueries = 5, k = k).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .map { case (q, rows) => q -> rows.map(_.getAs[Long]("neighbor_id")).toSet }
+    // brute-force ground truth
+    val vecs = emb.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])].collect()
+    val truth = vecs.filter(_._1 < 5).map { case (qid, qv) =>
+      qid -> vecs.filter(_._1 != qid)
+        .map { case (id, v) => (id, TextSketch.cosine(qv, v)) }
+        .sortBy { case (id, c) => (-c, id) }.take(k).map(_._1).toSet
+    }.toMap
+    val recalls = truth.map { case (q, t) =>
+      ivf.getOrElse(q, Set.empty).intersect(t).size.toDouble / k }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.5, s"IVF mean recall@$k = $mean (probing 4/16 cells)")
+    // deterministic across runs
+    val again = TextSketch.ivfTopK(emb, nQueries = 5, k = k).collect()
+      .map(_.toString).toSeq
+    assert(again == TextSketch.ivfTopK(emb, nQueries = 5, k = k).collect().map(_.toString).toSeq)
+  }
 }
