@@ -79,6 +79,32 @@ class StreamingAndMultimodalSpec extends AnyFunSuite {
     assert(est > 0.05 && est < 0.9)
   }
 
+  test("GraftExtensions injects cosine_sim into sessions via spark.sql.extensions") {
+    spark // force the shared session (and its SparkContext) to exist
+    // getOrCreate returns the default session (ignoring new confs), so
+    // clear it to force a NEW SparkSession (same context) with extensions
+    val prevDefault = SparkSession.getDefaultSession
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.clearDefaultSession(); SparkSession.clearActiveSession()
+    try {
+      // spark.sql.extensions is a STATIC conf read at SparkContext
+      // creation; this JVM's context already exists, so exercise the
+      // same injection through the programmatic builder hook
+      val s2 = SparkSession.builder()
+        .withExtensions(new GraftExtensions())
+        .getOrCreate()
+      val r = s2.sql(
+        """SELECT cosine_sim(array(cast(1.0 as float), cast(0.0 as float)),
+          |                  array(cast(1.0 as float), cast(0.0 as float))) AS c""".stripMargin)
+        .collect()
+      assert(math.abs(r.head.getDouble(0) - 1.0) < 1e-12)
+    } finally {
+      SparkSession.clearDefaultSession(); SparkSession.clearActiveSession()
+      prevDefault.foreach(SparkSession.setDefaultSession)
+      prevActive.foreach(SparkSession.setActiveSession)
+    }
+  }
+
   test("ann lsh topk returns ranked neighbors per query") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val res = TextSketch.annTopK(emb).collect()
