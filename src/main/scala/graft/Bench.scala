@@ -96,10 +96,12 @@ object Bench {
           timed(Pipeline.extract(pages, ExtractMode.Plain).count())
         }
         val (n, sec) = runs.minBy(_._2)
-        // the north rule's classify-then-aggregate stage: map-side chunk,
-        // shuffle ONLY the rendered text, grouped ordered reassembly
+        // the north rule's classify-then-aggregate stage: extract, then
+        // per-host stats — partial aggregation means only tiny per-host
+        // rows shuffle
         val secChunked = (1 to 3).map { _ =>
-          timed(Pipeline.extractChunked(pages).count())._2
+          timed(Pipeline.perHostStats(
+            Pipeline.extract(pages, ExtractMode.Plain).toDF()).count())._2
         }.min
         val secSalted = (1 to 3).map { _ =>
           timed(Pipeline.extract(pages, ExtractMode.Plain,
@@ -138,8 +140,8 @@ object Bench {
       s""""hw_ceiling_8_to_32":${f"$hwCeiling%.3f"},""" +
       s""""hw_calib_1thread_ops_sec":${f"$hw1%.0f"},""" +
       s""""scaling_efficiency_normalized":${f"$effNorm%.3f"},""" +
-      s""""chunked_secs_8":${f"$chunked8%.3f"},"chunked_secs_32":${f"$chunked32%.3f"},""" +
-      s""""chunked_scaling_efficiency":${f"$effChunked%.3f"},""" +
+      s""""agg_secs_8":${f"$chunked8%.3f"},"agg_secs_32":${f"$chunked32%.3f"},""" +
+      s""""agg_scaling_efficiency":${f"$effChunked%.3f"},""" +
       s""""salted_secs_8":${f"$salted8%.3f"},"salted_secs_32":${f"$salted32%.3f"},""" +
       s""""salted_scaling_efficiency":${f"$effSalted%.3f"}}"""
     println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir","extraction":$extraction}""")
@@ -164,15 +166,16 @@ object Bench {
          ||---|---|---|---|
          || extract (map-only) N | 8 | ${f"$sec8%.2f"} | ${f"$thr8%.1f"} |
          || extract (map-only) 4N | 32 | ${f"$sec32%.2f"} | ${f"$thr32%.1f"} |
-         || chunk+reassemble (classify→aggregate) N | 8 | ${f"$chunked8%.2f"} | ${f"${n8 / chunked8}%.1f"} |
-         || chunk+reassemble (classify→aggregate) 4N | 32 | ${f"$chunked32%.2f"} | ${f"${n32 / chunked32}%.1f"} |
+         || extract→per-host agg (classify→aggregate) N | 8 | ${f"$chunked8%.2f"} | ${f"${n8 / chunked8}%.1f"} |
+         || extract→per-host agg (classify→aggregate) 4N | 32 | ${f"$chunked32%.2f"} | ${f"${n32 / chunked32}%.1f"} |
          || extract (salted payload shuffle, worst-case bound) N | 8 | ${f"$salted8%.2f"} | ${f"${n8 / salted8}%.1f"} |
          || extract (salted payload shuffle, worst-case bound) 4N | 32 | ${f"$salted32%.2f"} | ${f"${n32 / salted32}%.1f"} |
          |
          |**Scaling efficiency (thr@32 / thr@8) / 4 = ${f"$eff%.3f"}** map-only
-         |raw; chunk+reassemble (the north rule's classify-then-aggregate
-         |stage — only rendered text shuffles): ${f"$effChunked%.3f"};
-         |salted payload-shuffle bound: ${f"$effSalted%.3f"}.
+         |raw; extract→per-host aggregate (the north rule's classify-then-
+         |aggregate stage — map-side partial agg, only per-host rows
+         |shuffle): ${f"$effChunked%.3f"}; salted payload-shuffle bound:
+         |${f"$effSalted%.3f"}.
          |
          |Hardware ceiling on this box (pure-CPU xxh64 calibration, same
          |protocol — per-core speed at all-core load is ~0.5× few-core

@@ -120,25 +120,41 @@ object Pipeline {
     * shuffle independently, reassembly is an ordered concat — the
     * sequence-concat of GOT_ocr_2_0.py:151 as a relational group-agg.
     * Output text is identical to Plain extraction (identity property). */
+  /** All chunks of a document are produced by the SAME kernel call, so
+    * reassembly is local — chunk → render → ordered concat inside one
+    * map, ZERO shuffle. (A groupBy(url) reassembly here would sort-agg
+    * the whole rendered corpus for nothing; the genuinely distributed
+    * group case — parts arriving as separate input ROWS — is multipage,
+    * `reassembleMultiPage`.) The chunk→concat identity property (x04)
+    * still mirrors the reference's per-tile encode + sequence concat
+    * (GOT_ocr_2_0.py:151). */
   def extractChunked(pages: DataFrame, numPartitions: Int = 0): DataFrame = {
     val spark = pages.sparkSession
     import spark.implicits._
-    // map-side chunking emits RENDERED text (small); only that shuffles
-    // in the groupBy below — the payload bytes never do
     val narrowed = pages.select(col("url"), col("warc_ts"), col("html"))
-    val chunks = narrowed.as[(String, java.sql.Timestamp, Array[Byte])].flatMap {
-      case (url, ts, html) => chunkOne(url, ts, html)
-    }
-    chunks.groupBy(col("url"))
-      .agg(
-        array_join(
-          transform(
-            array_sort(collect_list(struct(col("chunk_idx"), col("text")))),
-            x => x.getField("text")),
-          "\n").as("text"),
-        max(col("n_chunks")).as("n_chunks"),
-        first(col("thumbnail")).as("thumbnail"))
+    narrowed.as[(String, java.sql.Timestamp, Array[Byte])]
+      .flatMap { case (url, ts, html) =>
+        val rows = chunkOne(url, ts, html)
+        if (rows.isEmpty) None
+        else Some((url, rows.map(_.text).mkString("\n"), rows.length,
+          rows.head.thumbnail))
+      }
+      .toDF("url", "text", "n_chunks", "thumbnail")
   }
+
+  /** The classify-then-aggregate stage at corpus scale: per-host content
+    * metrics. Partial (map-side) aggregation means only ONE small row per
+    * (task, host) crosses the shuffle — the scalable shape for wide
+    * stats over 10^12 docs. */
+  def perHostStats(extracted: DataFrame): DataFrame =
+    extracted
+      .groupBy(parse_url(col("url"), lit("HOST")).as("host"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("status") === "ok", 1L).otherwise(0L)).as("n_ok"),
+        sum(col("metrics.bytes_in")).as("bytes_in"),
+        sum(col("metrics.blocks_kept")).as("blocks_kept"),
+        sum(col("metrics.out_chars")).as("out_chars"))
 
   private def chunkOne(url: String, ts: java.sql.Timestamp,
       html: Array[Byte]): Seq[ChunkRow] = {
@@ -153,8 +169,11 @@ object Pipeline {
           val kept = Extractor.suppressRepeats(blocks.filter(BlockClassifier.keep))
           val segs = Chunker.segments(kept)
           val thumb = Chunker.thumbnail(kept)
+          // thumbnail rides only on chunk 0: shuffling one copy per doc,
+          // not one per chunk
           segs.zipWithIndex.map { case (seg, idx) =>
-            ChunkRow(url, ts, idx, segs.length, seg.map(_.text).mkString("\n"), thumb)
+            ChunkRow(url, ts, idx, segs.length, seg.map(_.text).mkString("\n"),
+              if (idx == 0) thumb else "")
           }
         case _ => Seq.empty
       }
