@@ -445,6 +445,32 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), sum(length(col("text"))).as("out_chars"))
         .orderBy("status")
     }),
+    "x16_warc_ingest" -> ((s, _) => {
+      // Common-Crawl-native ingest: synthesize WARC captures (one gzip,
+      // one plain), ingest -> pages shape -> extraction, count by status
+      import graft.sources.{Ingest, Warc}
+      val dir = new java.io.File(s"$SynthRoot/warc_fixture")
+      if (!new java.io.File(dir, "cap0.warc").exists()) {
+        dir.mkdirs()
+        val recs = (0 until 50).map { i =>
+          Warc.Record(s"https://warc$i.example.com/doc", "2024-03-04T05:06:07Z",
+            "text/html",
+            s"<html><body><p>warc payload $i with enough words to pass the density gate easily</p></body></html>"
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        }
+        val plain = Warc.write(recs.take(25))
+        java.nio.file.Files.write(new java.io.File(dir, "cap0.warc").toPath, plain)
+        val bos = new java.io.ByteArrayOutputStream()
+        val gz = new java.util.zip.GZIPOutputStream(bos)
+        gz.write(Warc.write(recs.drop(25))); gz.close()
+        java.nio.file.Files.write(new java.io.File(dir, "cap1.warc.gz").toPath, bos.toByteArray)
+      }
+      val pages = Ingest.warcFiles(s, s"${dir.getAbsolutePath}/*")
+      Pipeline.extract(pages, ExtractMode.Plain).toDF()
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n"), sum(length(col("text"))).as("out_chars"))
+        .orderBy("status")
+    }),
     "x09_resume_lineage" -> ((s, _) => {
       val (pagesDir, _) = microTables(s)
       val out = s"$SynthRoot/run_${java.util.UUID.randomUUID().toString.take(8)}"
