@@ -99,6 +99,17 @@ class PipelineSpec extends AnyFunSuite {
     assert(parts > 1, s"hot host $hot landed in a single partition (skew not defused)")
   }
 
+  test("extraction output is invariant under partitioning (1 vs 16 partitions)") {
+    import graft.extract.ExtractMode
+    val pages = IceLite.read(spark, dirs._1)
+    def run(p: Int) = Pipeline.extract(pages.repartition(p), ExtractMode.Plain)
+      .collect().sortBy(_.url)
+      .map(d => (d.url, d.status, d.text, d.spans.mkString(","), d.metrics))
+    val one = run(1)
+    val many = run(16)
+    assert(one.length == many.length && one.sameElements(many))
+  }
+
   test("multipage reassembly is ordered by part index, not shuffle order") {
     val mp = SparkEntry.queries("x03_multipage")(spark, "")
     val golden = IceLite.read(spark, dirs._2).filter(col("mode") === "multipage")
