@@ -176,10 +176,21 @@ object SparkEntry {
         .agg(min(col("h")).as("sig"))
       val buckets = sigs.groupBy(col("b"), col("sig"))
         .agg(count(lit(1)).as("cnt"))
-      buckets.groupBy(col("b"))
+      buckets.groupBy(col("b").cast("long").as("b"))
         .agg(count(lit(1)).as("n_buckets"),
           sum((col("cnt") * (col("cnt") - 1) / 2).cast("long")).as("cand_pairs"))
         .orderBy("b")
+    }),
+    "q11_filename_routing" -> ((s, dir) => {
+      // P12: the reference's filename routing (append extension, zero-pad
+      // numeric ids — eval_GOT_ocr.py:179-184 zfill) as concat/lpad/printf
+      // built-ins; value-compared verbatim against the oracle.
+      t(s, dir, "documents").filter(col("doc_id") < 20)
+        .select(col("doc_id"),
+          concat(col("source"), lit("/"),
+            lpad(col("doc_id").cast("string"), 9, "0"), lit(".jpg")).as("filename"),
+          format_string("%s_%05d", col("lang"), col("doc_id")).as("tag"))
+        .orderBy("doc_id")
     }),
     "q12_ngram_jaccard" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
@@ -210,14 +221,14 @@ object SparkEntry {
         aggregate(zip_with(x, y, (a, b) => a * b), lit(0.0), (acc, e) => acc + e)
       val scored = emb.crossJoin(broadcast(q))
         .filter(col("vec_id") =!= col("query_id"))
-        .select(col("query_id"), col("vec_id"),
+        .select(col("query_id"), col("vec_id").as("id"),
           (dot(col("qv"), col("v")) /
-            (sqrt(dot(col("qv"), col("qv"))) * sqrt(dot(col("v"), col("v"))))).as("cos"))
-      val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
-      scored.withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 5)
-        .select(col("query_id"), col("rank").cast("long").as("rank"),
-          col("vec_id").as("neighbor_id"))
+            (sqrt(dot(col("qv"), col("qv"))) * sqrt(dot(col("v"), col("v"))))).as("score"))
+      // bounded top-k aggregate (map-side partial agg, no per-query full
+      // sort) — value-identical to the oracle's row_number window because
+      // the tie-break (score desc, id asc) matches
+      graft.functions.TopK.perQuery(scored, 5)
+        .select(col("query_id"), col("rank"), col("id").as("neighbor_id"))
         .orderBy("query_id", "rank")
     }),
     "q14_langid" -> ((s, dir) => {
@@ -300,13 +311,10 @@ object SparkEntry {
         .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
       val scored = emb.crossJoin(broadcast(q))
         .filter(col("vec_id") =!= col("query_id"))
-        .select(col("query_id"), col("vec_id"),
-          expr("cosine_sim(qv, embedding)").as("cos"))
-      val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
-      scored.withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 5)
-        .select(col("query_id"), col("rank").cast("long").as("rank"),
-          col("vec_id").as("neighbor_id"))
+        .select(col("query_id"), col("vec_id").as("id"),
+          expr("cosine_sim(qv, embedding)").as("score"))
+      graft.functions.TopK.perQuery(scored, 5)
+        .select(col("query_id"), col("rank"), col("id").as("neighbor_id"))
         .orderBy("query_id", "rank")
     }),
 
@@ -316,8 +324,13 @@ object SparkEntry {
       // semantics; the 10^9-vector scale path is the LSH-bucketed
       // variant (x10_ann_lsh): hyperplane-bucket join, then this same
       // cosine test only within buckets.
-      val emb = t(s, dir, "embeddings")
+      // The natural corpus has max pairwise cos ~0.6 (random 64-dim), so
+      // a 0.92 gate over raw data is vacuous; we plant 50 exact-duplicate
+      // vectors (id+100000) so the oracle comparison covers real matches.
+      val base = t(s, dir, "embeddings")
         .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+      val emb = base.unionByName(base.filter(col("vec_id") < 50)
+        .select((col("vec_id") + 100000).as("vec_id"), col("v")))
       def dot(x: Column, y: Column): Column =
         aggregate(zip_with(x, y, (a, b) => a * b), lit(0.0), (acc, e) => acc + e)
       val a = emb.select(col("vec_id").as("vec_a"), col("v").as("va"))
@@ -329,6 +342,56 @@ object SparkEntry {
         .filter(col("cos") >= 0.92)
         .select(col("vec_a"), col("vec_b"))
         .orderBy("vec_a", "vec_b")
+    }),
+
+    "q23_category_eval" -> ((s, dir) => {
+      // J2 + A2: per-category formatted eval — the reference's most-used
+      // eval mode for formatted output (eval_ocr_format.py:106-180): split
+      // pred and gt into (text, math, table) categories, zip-join the
+      // splits per (doc, category), aggregate per-category metrics.
+      // The documents table carries no math/table markers (q07: one
+      // category), so both sides plant identical formatted segments; the
+      // category regexes here are the RE2-safe equivalents of the
+      // reference regexes (the byte-exact ported ones live in
+      // Metrics.splitCategories and are exercised by x17 + golden tests,
+      // where Java-regex lookbehind is available).
+      val docs = t(s, dir, "documents")
+      val gt = concat(col("text"),
+        lit(" \\("), substring(col("text"), 1, 16), lit("\\) \\["),
+        substring(col("text"), 17, 16), lit("\\] \\begin{tabular}{ll} "),
+        substring(col("text"), 1, 12), lit(" \\end{tabular}"))
+      val pred = concat(substring(col("text"), lit(1), floor(col("n_chars") / 2).cast("int")),
+        lit(" \\("), substring(col("text"), 1, 16), lit("\\) \\begin{tabular}{ll} "),
+        substring(col("text"), 3, 12), lit(" \\end{tabular}"))
+      val pInline = """\\\((.*?)\\\)"""
+      val pDisplay = """\\\[(.*?)\\\]"""
+      val pTable = """(?s)\\begin\{tabular\}(.*?)\\end\{tabular\}"""
+      def cats(src: Column): Column = array(
+        struct(lit("a_text").as("category"), trim(src).as("content")),
+        struct(lit("b_math").as("category"),
+          concat(array_join(regexp_extract_all(src, lit(pInline), lit(1)), "\n"),
+            array_join(regexp_extract_all(src, lit(pDisplay), lit(1)), "\n")).as("content")),
+        struct(lit("c_table").as("category"),
+          array_join(regexp_extract_all(src, lit(pTable), lit(1)), "\n").as("content")))
+      val gtSide = docs.select(col("doc_id"), explode(cats(gt)).as("c"))
+        .select(col("doc_id"), col("c.category").as("category"), col("c.content").as("gtc"))
+      val predSide = docs.select(col("doc_id"), explode(cats(pred)).as("c"))
+        .select(col("doc_id"), col("c.category").as("category"), col("c.content").as("predc"))
+      gtSide.join(predSide, Seq("doc_id", "category"))
+        .filter(length(col("gtc")) >= 1 && length(col("predc")) >= 1) // F3 guard
+        .select(col("category"),
+          size(array_intersect(array_distinct(split(col("gtc"), " ")),
+            array_distinct(split(col("predc"), " ")))).cast("long").as("inter"),
+          size(array_distinct(split(col("gtc"), " "))).cast("long").as("nref"),
+          size(array_distinct(split(col("predc"), " "))).cast("long").as("nhyp"))
+        .groupBy(col("category"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("inter")).as("sum_inter"),
+          sum(col("nref")).as("sum_ref"),
+          sum(col("nhyp")).as("sum_hyp"),
+          sum(floor(lit(1000.0) * col("inter") / greatest(col("nhyp"), lit(1)))
+            .cast("long")).as("sum_prec_x1000"))
+        .orderBy("category")
     }),
 
     // ---- extraction pipeline (rows-only: not SQL-expressible) ----
@@ -450,7 +513,20 @@ object SparkEntry {
       // one plain), ingest -> pages shape -> extraction, count by status
       import graft.sources.{Ingest, Warc}
       val dir = new java.io.File(s"$SynthRoot/warc_fixture")
-      if (!new java.io.File(dir, "cap0.warc").exists()) {
+      // fixtures are written via temp-file + ATOMIC_MOVE so two concurrent
+      // sessions racing on check-then-write can never read a partial file
+      // (ADVICE r1); the content is seed-fixed, so last-writer-wins is
+      // byte-identical
+      def atomicWrite(name: String, bytes: Array[Byte]): Unit = {
+        val target = new java.io.File(dir, name).toPath
+        val tmp = java.nio.file.Files.createTempFile(dir.toPath, s".$name", ".tmp")
+        java.nio.file.Files.write(tmp, bytes)
+        java.nio.file.Files.move(tmp, target,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+      if (!new java.io.File(dir, "cap0.warc").exists() ||
+          !new java.io.File(dir, "cap1.warc.gz").exists()) {
         dir.mkdirs()
         val recs = (0 until 50).map { i =>
           Warc.Record(s"https://warc$i.example.com/doc", "2024-03-04T05:06:07Z",
@@ -458,12 +534,11 @@ object SparkEntry {
             s"<html><body><p>warc payload $i with enough words to pass the density gate easily</p></body></html>"
               .getBytes(java.nio.charset.StandardCharsets.UTF_8))
         }
-        val plain = Warc.write(recs.take(25))
-        java.nio.file.Files.write(new java.io.File(dir, "cap0.warc").toPath, plain)
+        atomicWrite("cap0.warc", Warc.write(recs.take(25)))
         val bos = new java.io.ByteArrayOutputStream()
         val gz = new java.util.zip.GZIPOutputStream(bos)
         gz.write(Warc.write(recs.drop(25))); gz.close()
-        java.nio.file.Files.write(new java.io.File(dir, "cap1.warc.gz").toPath, bos.toByteArray)
+        atomicWrite("cap1.warc.gz", bos.toByteArray)
       }
       val pages = Ingest.warcFiles(s, s"${dir.getAbsolutePath}/*")
       Pipeline.extract(pages, ExtractMode.Plain).toDF()
@@ -486,12 +561,15 @@ object SparkEntry {
   // --------------------------------------------------------- oracle SQL
 
   def oracleSql: Map[String, String] = Map(
+    // NOTE (driver hash parity): DuckDB's sum(BIGINT) returns HUGEINT
+    // (int128), so every sum below carries an OUTER CAST(... AS BIGINT)
+    // to match Spark's int64 — inner casts alone are not enough.
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        | sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
+        | CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
         | count(*) AS n_rows,
-        | sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS revenue_cents,
-        | sum(CAST(floor(l_discount * 10000) AS BIGINT)) AS disc_bp
+        | CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+        | CAST(sum(CAST(floor(l_discount * 10000) AS BIGINT)) AS BIGINT) AS disc_bp
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
         |GROUP BY l_returnflag, l_linestatus
@@ -499,19 +577,19 @@ object SparkEntry {
     "q02_nation_revenue" ->
       """SELECT n_name,
         | count(*) AS n_orders,
-        | sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS total_cents
+        | CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
     "q03_anti_join_resume" ->
       """SELECT c_mktsegment,
         | count(*) AS n_no_order,
-        | sum(CAST(floor(c_acctbal * 100) AS BIGINT)) AS bal_cents
+        | CAST(sum(CAST(floor(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents
         |FROM customer c
         |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "q04_union_mix" ->
-      """SELECT source, count(*) AS n_docs, sum(n_chars) AS sum_chars FROM (
+      """SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars FROM (
         |  SELECT * FROM documents WHERE lang = 'en'
         |  UNION ALL
         |  SELECT * FROM documents WHERE lang <> 'en'
@@ -533,7 +611,7 @@ object SparkEntry {
         |  WHEN position('\begin{tabular}' IN text) > 0 THEN 'table'
         |  WHEN position('\(' IN text) > 0 OR position('\[' IN text) > 0 THEN 'math'
         |  ELSE 'text' END AS category,
-        | count(*) AS n_docs, sum(n_chars) AS sum_chars
+        | count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents GROUP BY 1 ORDER BY category""".stripMargin,
     "q08_token_prf" ->
       """WITH t AS (
@@ -561,6 +639,11 @@ object SparkEntry {
         |SELECT b, count(*) AS n_buckets,
         |  CAST(sum(cnt * (cnt - 1) / 2) AS BIGINT) AS cand_pairs
         |FROM bk GROUP BY b ORDER BY b""".stripMargin,
+    "q11_filename_routing" ->
+      """SELECT doc_id,
+        |  source || '/' || lpad(CAST(doc_id AS VARCHAR), 9, '0') || '.jpg' AS filename,
+        |  printf('%s_%05d', lang, doc_id) AS tag
+        |FROM documents WHERE doc_id < 20 ORDER BY doc_id""".stripMargin,
     "q12_ngram_jaccard" ->
       """WITH g AS (
         |  SELECT doc_id, lang,
@@ -600,7 +683,7 @@ object SparkEntry {
         |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens,
         |  CAST(sum(length(text) - length(replace(text, '.', ''))) AS BIGINT) AS sum_punct,
         |  CAST(sum(CAST((length(text) - length(replace(text, ' the ', ' '))) / 4 AS BIGINT)) AS BIGINT) AS sum_the,
-        |  sum(n_chars) AS sum_chars,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         |  count(*) AS n_docs
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "q16_token_count" ->
@@ -612,33 +695,75 @@ object SparkEntry {
     "q17_hourly_events" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type,
         |  count(*) AS n,
-        |  sum(CAST(floor(value * 100) AS BIGINT)) AS value_cents
+        |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
     "q18_cube_docs" ->
       """SELECT coalesce(lang, 'ALL') AS lang, coalesce(source, 'ALL') AS source,
-        |  count(*) AS n_docs, sum(n_chars) AS sum_chars
+        |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents GROUP BY CUBE (lang, source)
         |ORDER BY lang, source""".stripMargin,
     "q19_running_sum" ->
       """SELECT user_id, event_id,
-        |  sum(CAST(floor(value * 100) AS BIGINT)) OVER (
+        |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) OVER (
         |    PARTITION BY user_id ORDER BY ts, event_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_cents
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_cents
         |FROM events WHERE user_id < 10
         |ORDER BY user_id, event_id""".stripMargin,
     "q20_segment_revenue" ->
       """SELECT c_mktsegment, count(*) AS n_lines,
-        |  sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS revenue_cents
+        |  CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "q22_embed_neardup" ->
-      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)
+      """WITH base AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |e AS (SELECT * FROM base
+        |      UNION ALL
+        |      SELECT vec_id + 100000 AS vec_id, v FROM base WHERE vec_id < 50)
         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |WHERE list_dot_product(a.v, b.v) /
         |  (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.92
         |ORDER BY vec_a, vec_b""".stripMargin,
+    "q23_category_eval" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    text || ' \(' || substring(text, 1, 16) || '\) \[' || substring(text, 17, 16)
+        |      || '\] \begin{tabular}{ll} ' || substring(text, 1, 12) || ' \end{tabular}' AS gt,
+        |    substring(text, 1, CAST(floor(n_chars / 2) AS INT)) || ' \(' || substring(text, 1, 16)
+        |      || '\) \begin{tabular}{ll} ' || substring(text, 3, 12) || ' \end{tabular}' AS pred
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, 'a_text' AS category, trim(gt) AS gtc FROM d
+        |  UNION ALL
+        |  SELECT doc_id, 'b_math',
+        |    coalesce(array_to_string(regexp_extract_all(gt, '\\\((.*?)\\\)', 1), chr(10)), '') ||
+        |    coalesce(array_to_string(regexp_extract_all(gt, '\\\[(.*?)\\\]', 1), chr(10)), '') FROM d
+        |  UNION ALL
+        |  SELECT doc_id, 'c_table',
+        |    coalesce(array_to_string(regexp_extract_all(gt, '(?s)\\begin\{tabular\}(.*?)\\end\{tabular\}', 1), chr(10)), '') FROM d),
+        |p AS (
+        |  SELECT doc_id, 'a_text' AS category, trim(pred) AS predc FROM d
+        |  UNION ALL
+        |  SELECT doc_id, 'b_math',
+        |    coalesce(array_to_string(regexp_extract_all(pred, '\\\((.*?)\\\)', 1), chr(10)), '') ||
+        |    coalesce(array_to_string(regexp_extract_all(pred, '\\\[(.*?)\\\]', 1), chr(10)), '') FROM d
+        |  UNION ALL
+        |  SELECT doc_id, 'c_table',
+        |    coalesce(array_to_string(regexp_extract_all(pred, '(?s)\\begin\{tabular\}(.*?)\\end\{tabular\}', 1), chr(10)), '') FROM d),
+        |j AS (
+        |  SELECT g.category,
+        |    len(list_intersect(list_distinct(string_split(gtc, ' ')), list_distinct(string_split(predc, ' ')))) AS inter,
+        |    len(list_distinct(string_split(gtc, ' '))) AS nref,
+        |    len(list_distinct(string_split(predc, ' '))) AS nhyp
+        |  FROM g JOIN p ON g.doc_id = p.doc_id AND g.category = p.category
+        |  WHERE length(gtc) >= 1 AND length(predc) >= 1)
+        |SELECT category, count(*) AS n_docs,
+        |  CAST(sum(inter) AS BIGINT) AS sum_inter,
+        |  CAST(sum(nref) AS BIGINT) AS sum_ref,
+        |  CAST(sum(nhyp) AS BIGINT) AS sum_hyp,
+        |  CAST(sum(CAST(floor(1000.0 * inter / greatest(nhyp, 1)) AS BIGINT)) AS BIGINT) AS sum_prec_x1000
+        |FROM j GROUP BY category ORDER BY category""".stripMargin,
     "q21_cosine_native" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),

@@ -83,30 +83,65 @@ object TextSketch extends Serializable {
   }
 
   /** MinHash-LSH near-duplicate candidate pairs over a (doc_id, text)
-    * table: shingle → minhash → band → bucket-join → within-bucket
-    * verify (estimated Jaccard). One shuffle, keyed by (band, bandKey);
-    * no all-pairs comparison — the 100 TB-safe shape. */
-  def lshCandidatePairs(docs: DataFrame, minJaccardX100: Int = 50): DataFrame = {
+    * table: exact-dup collapse → shingle → minhash → band → bucket-join →
+    * within-bucket verify (estimated Jaccard). One shuffle, keyed by
+    * (band, bandKey); no all-pairs comparison — the 100 TB-safe shape.
+    *
+    * Degenerate-bucket guards (VERDICT r1 #5): crawl corpora carry
+    * mass-duplicated boilerplate, so (a) exact duplicates are collapsed
+    * to a min-id representative FIRST and reported as linear
+    * (rep, member) pairs at jaccard 100 — they never enter LSH; (b) a
+    * bucket that still exceeds `maxBucket` rows (templated near-dups)
+    * switches from all-pairs to a streaming star against its first-seen
+    * min-id hub: memory stays O(maxBucket), output O(m), and the hub
+    * still chains the bucket into one connected component for any
+    * downstream union-find. */
+  def lshCandidatePairs(docs: DataFrame, minJaccardX100: Int = 50,
+      maxBucket: Int = 1024): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val sigs: Dataset[(Long, Array[Long])] = docs
-      .select(col("doc_id").cast("long"), col("text"))
+    val hashed = docs.select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      .withColumn("h", md5(col("text").cast("binary")))
+    val reps = hashed.groupBy(col("h")).agg(min(col("doc_id")).as("rep_id"))
+    val withRep = hashed.join(reps, Seq("h"))
+    val exactPairs = withRep.filter(col("doc_id") =!= col("rep_id"))
+      .select(col("rep_id").as("doc_a"), col("doc_id").as("doc_b"),
+        lit(1.0).as("est_jaccard"))
+    val uniqueDocs = withRep.filter(col("doc_id") === col("rep_id"))
+      .select(col("doc_id"), col("text"))
+    val sigs: Dataset[(Long, Array[Long])] = uniqueDocs
       .as[(Long, String)]
       .map { case (id, text) => (id, minhashSignature(text)) }
     val banded = sigs.flatMap { case (id, sig) =>
       bandKeys(sig).zipWithIndex.map { case (k, b) => (b, k, id, sig) }
     }
-    val pairs = banded.groupByKey(t => (t._1, t._2))
+    val lshPairs = banded.groupByKey(t => (t._1, t._2))
       .flatMapGroups { (_, rows) =>
-        val ds = rows.map(t => (t._3, t._4)).toArray.sortBy(_._1)
-        for {
-          i <- ds.indices.iterator
-          j <- (i + 1) until ds.length
-          if ds(i)._1 != ds(j)._1
-        } yield (ds(i)._1, ds(j)._1, estJaccard(ds(i)._2, ds(j)._2))
+        val head = rows.take(maxBucket).map(t => (t._3, t._4)).toArray
+        if (!rows.hasNext) {
+          // normal bucket: all pairs, deterministic id order
+          val ds = head.sortBy(_._1)
+          for {
+            i <- ds.indices.iterator
+            j <- (i + 1) until ds.length
+          } yield (ds(i)._1, ds(j)._1, estJaccard(ds(i)._2, ds(j)._2))
+        } else {
+          // degenerate bucket: star pairs via the buffered min-id hub,
+          // then stream the tail without buffering it
+          val hubIdx = head.indices.minBy(head(_)._1)
+          val hub = head(hubIdx)
+          val buffered = head.iterator.filter(_._1 != hub._1)
+            .map(o => (math.min(hub._1, o._1), math.max(hub._1, o._1),
+              estJaccard(hub._2, o._2)))
+          val streamed = rows.map(t => (t._3, t._4))
+            .filter(_._1 != hub._1)
+            .map(o => (math.min(hub._1, o._1), math.max(hub._1, o._1),
+              estJaccard(hub._2, o._2)))
+          buffered ++ streamed
+        }
       }
       .toDF("doc_a", "doc_b", "est_jaccard")
-    pairs
+    lshPairs.unionByName(exactPairs)
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(max(col("est_jaccard")).as("est_jaccard"))
       .filter(col("est_jaccard") * 100 >= minJaccardX100)
@@ -151,19 +186,31 @@ object TextSketch extends Serializable {
 
   // ------------------------------------------------- ANN (embeddings)
 
+  /** Seed-fixed ±1 hyperplane matrix, computed ONCE per
+    * (dim, nBits, seed) per JVM and cached (VERDICT r1 #4: hashing
+    * per (row × bit × dim) allocated nBits×dim strings per vector).
+    * Bit values are identical to the per-row formulation, so buckets —
+    * and every downstream result — are unchanged. */
+  private val signCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Long), Array[Array[Double]]]()
+
+  private def hyperplaneSigns(dim: Int, nBits: Int, seed: Long): Array[Array[Double]] =
+    signCache.computeIfAbsent((dim, nBits, seed), { _ =>
+      Array.tabulate(nBits)(b => Array.tabulate(dim)(d =>
+        if ((Hash64.xxh64(s"$b:$d", seed) & 1L) == 0L) 1.0 else -1.0))
+    })
+
   /** Random-hyperplane LSH bucket for a float vector: bit b = sign of
     * dot(v, r_b) where r_b components are seed-fixed ±1 from xxh64. */
   def hyperplaneBucket(v: Array[Float], nBits: Int = 12, seed: Long = 0xa22L): Int = {
+    val signs = hyperplaneSigns(v.length, nBits, seed)
     var bucket = 0
     var b = 0
     while (b < nBits) {
+      val row = signs(b)
       var dot = 0.0
       var d = 0
-      while (d < v.length) {
-        val sign = if ((Hash64.xxh64(s"$b:$d", seed) & 1L) == 0L) 1.0 else -1.0
-        dot += sign * v(d)
-        d += 1
-      }
+      while (d < v.length) { dot += row(d) * v(d); d += 1 }
       if (dot > 0) bucket |= (1 << b)
       b += 1
     }
@@ -188,13 +235,12 @@ object TextSketch extends Serializable {
       .select(col("query_id"), col("vec_id"), col("qv"), col("v"))
       .as[(Long, Long, Array[Float], Array[Float])]
       .map { case (qid, vid, qv, v) => (qid, vid, cosine(qv, v)) }
-      .toDF("query_id", "neighbor_id", "cos")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank").cast("long").as("rank"),
-        col("neighbor_id"), floor(col("cos") * 10000).cast("long").as("cos_x10000"))
+      .toDF("query_id", "id", "score")
+    // bounded top-k aggregate: only k rows per (map partition, query)
+    // shuffle — no per-query full sort (VERDICT r1 #8)
+    TopK.perQuery(scored, k)
+      .select(col("query_id"), col("rank"), col("id").as("neighbor_id"),
+        floor(col("score") * 10000).cast("long").as("cos_x10000"))
       .orderBy("query_id", "rank")
   }
 
@@ -226,18 +272,25 @@ object TextSketch extends Serializable {
       best
     }
     // Lloyd iterations: assign (map) -> per-cell mean (one shuffle of
-    // partial sums) -> tiny driver collect
+    // partial sums) -> tiny driver collect. Components are quantized to
+    // fixed-point longs before summing: integer addition is associative
+    // and commutative, so centroids are bit-identical under ANY
+    // partitioning / parallelism (ADVICE r1: double reduceGroups order
+    // depends on partitioning; fp addition is non-associative). The 1e-6
+    // quantization is far below any cell-assignment decision boundary,
+    // and 2^63 / 1e6 leaves ~9e12 unit-scale vectors per cell of headroom.
+    val Q = 1e6
     (1 to iters).foreach { _ =>
       val cs = centroids
       val means = vecs
-        .map { case (_, v) => (nearest(cs, v), (v.map(_.toDouble), 1L)) }
+        .map { case (_, v) => (nearest(cs, v), (v.map(x => math.round(x.toDouble * Q)), 1L)) }
         .groupByKey(_._1)
         .reduceGroups { (a, b) =>
           val s = a._2._1.clone()
           var i = 0; while (i < s.length) { s(i) += b._2._1(i); i += 1 }
           (a._1, (s, a._2._2 + b._2._2))
         }
-        .map { case (cell, (_, (sum, n))) => (cell, sum.map(_ / n)) }
+        .map { case (cell, (_, (sum, n))) => (cell, sum.map(x => x.toDouble / (n * Q))) }
         .collect().toMap
       centroids = centroids.indices.map(c => means.getOrElse(c, centroids(c))).toArray
     }
@@ -254,16 +307,14 @@ object TextSketch extends Serializable {
       .select(col("query_id"), col("vec_id"), col("qv"), col("v"))
       .as[(Long, Long, Array[Float], Array[Float])]
       .map { case (qid, vid, qv, v) => (qid, vid, cosine(qv, v)) }
-      .toDF("query_id", "neighbor_id", "cos")
+      .toDF("query_id", "id", "score")
       // a vector can be reached via several probed cells -> dedupe
-      .groupBy(col("query_id"), col("neighbor_id"))
-      .agg(max(col("cos")).as("cos"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank").cast("long").as("rank"),
-        col("neighbor_id"), floor(col("cos") * 10000).cast("long").as("cos_x10000"))
+      .groupBy(col("query_id"), col("id"))
+      .agg(max(col("score")).as("score"))
+    // bounded top-k aggregate instead of a per-query full sort
+    TopK.perQuery(scored, k)
+      .select(col("query_id"), col("rank"), col("id").as("neighbor_id"),
+        floor(col("score") * 10000).cast("long").as("cos_x10000"))
       .orderBy("query_id", "rank")
   }
 

@@ -26,17 +26,34 @@ object Warc {
     else recordsPlain(bytes)
   }
 
+  /** Hard cap on decompressed size: a JVM byte array tops out just short
+    * of 2 GiB, so a capture that inflates past this keeps its parsed
+    * prefix and drops the tail (never-throw contract). Real >2 GiB
+    * captures need record streaming straight off the GZIPInputStream —
+    * deliberate future work; typical Common-Crawl captures (~1 GiB
+    * compressed / 2-4 GiB inflated) should be split upstream. */
+  final val MaxInflatedBytes: Int = Int.MaxValue - 16
+
   /** Decompress ALL gzip members (Common Crawl concatenates one member
-    * per record; GZIPInputStream with a pushback handles multi-member). */
+    * per record; GZIPInputStream with a pushback handles multi-member).
+    * The initial-capacity estimate is computed in Long space and clamped
+    * (ADVICE r1: `bytes.length * 4` overflows Int for inputs >= 512 MiB),
+    * and allocation happens inside the try so a failed oversized
+    * allocation degrades to an empty result instead of throwing. */
   private def gunzipAll(bytes: Array[Byte]): Array[Byte] = {
-    val out = new ByteArrayOutputStream(bytes.length * 4)
+    var out: ByteArrayOutputStream = null
     try {
+      val cap = math.min(math.max(bytes.length.toLong * 4, 64L * 1024), MaxInflatedBytes.toLong).toInt
+      out = new ByteArrayOutputStream(cap)
       val in = new GZIPInputStream(new ByteArrayInputStream(bytes), 64 * 1024)
       val buf = new Array[Byte](64 * 1024)
       var n = in.read(buf)
-      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      while (n >= 0 && out.size() <= MaxInflatedBytes - n) {
+        out.write(buf, 0, n)
+        n = in.read(buf)
+      }
     } catch { case _: Throwable => () } // truncated trailing member: keep prefix
-    out.toByteArray
+    if (out == null) Array.emptyByteArray else out.toByteArray
   }
 
   private def recordsPlain(b: Array[Byte]): Vector[Record] = {
@@ -49,7 +66,12 @@ object Warc {
           case Some((rec, next)) =>
             rec.foreach(out += _)
             i = next
-          case None => i = -1
+          case None =>
+            // malformed record (bad/missing Content-Length, truncated
+            // header): skip just THIS record and resume at the next
+            // "WARC/" marker — aborting the whole file here would drop
+            // every valid record after one bad one (ADVICE r1)
+            i = indexOf(b, i + 5, "WARC/")
         }
       }
     }
