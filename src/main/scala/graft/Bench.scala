@@ -144,7 +144,14 @@ object Bench {
       s""""agg_scaling_efficiency":${f"$effChunked%.3f"},""" +
       s""""salted_secs_8":${f"$salted8%.3f"},"salted_secs_32":${f"$salted32%.3f"},""" +
       s""""salted_scaling_efficiency":${f"$effSalted%.3f"}}"""
-    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir","extraction":$extraction}""")
+    val jsonLine =
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir","extraction":$extraction}"""
+    println(jsonLine)
+    // ALSO a file: the stdout line reaches the driver with an sbt "[info]"
+    // prefix, which left BENCH_r01.json's parsed field null (VERDICT r1
+    // #5) — the file copy is always machine-readable
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("/root/repo/BENCH_LATEST.json"), jsonLine + "\n")
 
     // ---- BENCH.md (the BASELINE.md evidencing protocol)
     val md =

@@ -546,6 +546,43 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), sum(length(col("text"))).as("out_chars"))
         .orderBy("status")
     }),
+    "x17_category_eval" -> ((s, _) => {
+      // J2 + A2, reference-exact: per-category formatted eval over the
+      // golden corpus using the byte-exact ported split regexes
+      // (eval_ocr_format.py:106-180 via Metrics.splitCategories — Java
+      // regex lookbehind, not SQL-expressible; q23 carries the RE2-safe
+      // oracle variant). pred = Format-mode extraction deterministically
+      // truncated to 80% (a degraded transcript, the reference's
+      // imperfect-model-output case); gt = golden expected text.
+      import s.implicits._
+      val (pagesDir, goldenDir) = microTables(s)
+      val golden = IceLite.read(s, goldenDir).filter(col("mode") === "format")
+        .select(col("url"), decode(col("expected_text"), "UTF-8").as("gt"))
+      val pages = IceLite.read(s, pagesDir).join(golden.select("url"), Seq("url"))
+      val pred = Pipeline.ok(Pipeline.extract(pages, ExtractMode.Format)).toDF()
+        .select(col("url"), col("text").as("pred"))
+      pred.join(broadcast(golden), Seq("url"))
+        .select(col("url"), col("pred"), col("gt")).as[(String, String, String)]
+        .flatMap { case (_, predFull, gt) =>
+          val p = predFull.substring(0, predFull.length * 4 / 5)
+          val (pt, pm, ptab) = Metrics.splitCategories(p)
+          val (gtx, gm, gtab) = Metrics.splitCategories(gt)
+          Seq(("text", pt, gtx), ("math", pm, gm), ("table", ptab, gtab))
+            .filter { case (_, pc, gc) => pc.nonEmpty && gc.nonEmpty } // F3
+            .map { case (cat, pc, gc) =>
+              val m = Metrics.perDoc(pc, gc)
+              (cat, m("bleu"), m("f_measure"), m("precision"), m("recall"),
+                m("edit_dist"), m("chrf"))
+            }
+        }
+        .toDF("category", "bleu", "f_measure", "precision", "recall", "edit_dist", "chrf")
+        .groupBy(col("category"))
+        .agg(count(lit(1)).as("n_docs"), avg("bleu").as("bleu"),
+          avg("f_measure").as("f_measure"), avg("precision").as("precision"),
+          avg("recall").as("recall"), avg("edit_dist").as("edit_dist"),
+          avg("chrf").as("chrf"))
+        .orderBy("category")
+    }),
     "x09_resume_lineage" -> ((s, _) => {
       val (pagesDir, _) = microTables(s)
       val out = s"$SynthRoot/run_${java.util.UUID.randomUUID().toString.take(8)}"

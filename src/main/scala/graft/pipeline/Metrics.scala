@@ -24,10 +24,16 @@ object Metrics {
 
   def containsChinese(s: String): Boolean = chinesePattern.findFirstIn(s).isDefined
 
-  /** eval tokenization (eval_ocr.py:80-85). */
-  def tokens(s: String): Array[String] =
-    if (containsChinese(s)) s.toCharArray.map(_.toString).filterNot(_.isBlank)
-    else s.split("\\s+").filter(_.nonEmpty)
+  /** eval tokenization (eval_ocr.py:80-85). Default zh handling is
+    * per-character (deterministic scene-text semantics); `zhWords=true`
+    * swaps in the lexicon-based forward-maximum-matching segmenter
+    * (graft.functions.ZhSegment) — the documented stand-in for the
+    * reference's jieba dependency. */
+  def tokens(s: String, zhWords: Boolean = false): Array[String] =
+    if (containsChinese(s)) {
+      if (zhWords) graft.functions.ZhSegment.segment(s)
+      else s.toCharArray.map(_.toString).filterNot(_.isBlank)
+    } else s.split("\\s+").filter(_.nonEmpty)
 
   // ------------------------------------------------------------- BLEU (A4)
 
