@@ -583,6 +583,40 @@ object SparkEntry {
           avg("chrf").as("chrf"))
         .orderBy("category")
     }),
+    "x18_crawl_health" -> ((s, _) => {
+      // crawl-health report (VERDICT r1 next-steps #10): per-host
+      // extraction stats (perHostStats — map-side partial agg, only tiny
+      // per-host rows shuffle) published together with the run's lineage
+      // cross-check: the __ALL__ summary row asserts that what the hosts
+      // sum to is exactly what the lineage table committed — the
+      // invariant an operator pages through when a 100 TB run finishes.
+      val (pagesDir, _) = microTables(s)
+      val out = s"$SynthRoot/health_${java.util.UUID.randomUUID().toString.take(8)}"
+      graft.pipeline.ResumableRun.run(s, pagesDir, s"$out/extracted", s"$out/lineage",
+        nShards = 8, batchSize = 8)
+      // ResumableRun commits per-batch subdirectories (the commit unit)
+      val extracted = s.read.parquet(s"$out/extracted/batch_*")
+      val hosts = Pipeline.perHostStats(extracted)
+      val totals = hosts.agg(
+        sum(col("n_docs")).as("t_docs"), sum(col("n_ok")).as("t_ok"),
+        sum(col("bytes_in")).as("t_bytes"), sum(col("blocks_kept")).as("t_blocks"),
+        sum(col("out_chars")).as("t_chars"))
+      val lin = s.read.parquet(s"$out/lineage").agg(
+        sum(col("row_count_in")).as("l_docs"), sum(col("bytes_in")).as("l_bytes"),
+        count(lit(1)).as("l_shards"))
+      val allRow = totals.crossJoin(lin).select(
+        lit("__ALL__").as("host"), col("t_docs").as("n_docs"), col("t_ok").as("n_ok"),
+        col("t_bytes").as("bytes_in"), col("t_blocks").as("blocks_kept"),
+        col("t_chars").as("out_chars"),
+        (col("t_docs") === col("l_docs") && col("t_bytes") === col("l_bytes"))
+          .as("lineage_consistent"),
+        col("l_shards").as("n_shards"))
+      hosts
+        .withColumn("lineage_consistent", lit(null).cast("boolean"))
+        .withColumn("n_shards", lit(null).cast("long"))
+        .unionByName(allRow)
+        .orderBy("host")
+    }),
     "x09_resume_lineage" -> ((s, _) => {
       val (pagesDir, _) = microTables(s)
       val out = s"$SynthRoot/run_${java.util.UUID.randomUUID().toString.take(8)}"

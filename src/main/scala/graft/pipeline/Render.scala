@@ -74,11 +74,28 @@ object Render {
   def renderTikzHtml(text: String): String =
     tikzShell.format(tikzNormalize(text))
 
-  /** F1 mode routing (run_ocr_2.0.py:158,177,201): kern output is passed
-    * through raw (S9 stub — documented non-goal), tikz goes to the tikz
-    | shell, everything else to the mmd shell. */
+  /** P13: InternVL cross-system answer unwrap (eval_ocr.py:27-31):
+    * content after "All words in the image:\n" and before
+    * "[UNUSED_TOKEN_145]". The reference indexes split(...)[1] and
+    * crashes when the marker is absent; we pass the text through
+    * unchanged instead (never-throw discipline). Column equivalent:
+    * substring_index(substring_index(c, '[UNUSED_TOKEN_145]', 1),
+    * 'All words in the image:\n', -1). */
+  def unwrapInternVl(text: String): String = {
+    val m1 = "All words in the image:\n"
+    val afterIdx = text.indexOf(m1)
+    val after = if (afterIdx >= 0) text.substring(afterIdx + m1.length) else text
+    val stopIdx = after.indexOf("[UNUSED_TOKEN_145]")
+    if (stopIdx >= 0) after.substring(0, stopIdx) else after
+  }
+
+  /** F1 mode routing (run_ocr_2.0.py:158,177,201): kern output renders
+    * through the from-scratch SVG staff renderer (S9 — the reference
+    * uses the external verovio toolkit; KernSvg re-derives the
+    * notation→SVG→HTML contract), tikz goes to the tikz shell,
+    * everything else to the mmd shell. */
   def render(text: String): String = {
-    if (text.contains("**kern")) text
+    if (text.contains("**kern")) KernSvg.toHtml(text)
     else if (text.contains("\\begin{tikzpicture}")) renderTikzHtml(text)
     else renderMmdHtml(text)
   }

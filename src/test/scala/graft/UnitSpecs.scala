@@ -221,10 +221,39 @@ class RenderSpec extends AnyFunSuite {
     assert(Render.tikzNormalize("a，b。c;") == "a,b.c;\n")
   }
 
-  test("render routing: kern raw, tikz, mmd") {
-    assert(Render.render("**kern data") == "**kern data")
+  test("render routing: kern svg, tikz, mmd") {
+    val kern = Render.render("**kern\n4c\n=\n2e\n*-")
+    assert(kern.contains("<svg") && kern.contains("<ellipse"))
     assert(Render.render("\\begin{tikzpicture}x;").contains("text/tikz"))
     assert(Render.render("plain text").contains("const text ="))
+  }
+
+  test("kern svg: pitch/duration/rest/barline layout semantics") {
+    import graft.pipeline.KernSvg
+    // diatonic indices: lowercase c = C4 (28), cc = C5 (35), C = C3 (21)
+    assert(KernSvg.pitchIndex("4c") == Some(28))
+    assert(KernSvg.pitchIndex("8cc") == Some(35))
+    assert(KernSvg.pitchIndex("2C") == Some(21))
+    assert(KernSvg.pitchIndex("4e") == Some(30)) // bottom staff line E4
+    assert(KernSvg.pitchIndex("4r") == None)
+    assert(KernSvg.duration("2.e") == 2)
+    assert(KernSvg.duration("16a") == 16)
+    val svg = KernSvg.toSvg("**kern\n4c\n4r\n=\n1e\n*-")
+    // E4 (whole note): hollow head on the bottom line, no stem at y=70
+    assert(svg.contains("""<ellipse cx="""))
+    assert(svg.contains("""fill="none"""")) // the whole note
+    assert(svg.contains("""<rect""")) // the rest
+    assert(svg.split("\n").count(_.startsWith("<line x1=\"10\"")) == 5) // staff
+    // determinism + never-throw on hostile notation
+    assert(svg == KernSvg.toSvg("**kern\n4c\n4r\n=\n1e\n*-"))
+    KernSvg.toSvg("garbage \u0000 ###---rrr 999x")
+  }
+
+  test("unwrapInternVl: reference marker split, lenient when absent") {
+    assert(Render.unwrapInternVl("header All words in the image:\nthe answer[UNUSED_TOKEN_145]tail")
+      == "the answer")
+    assert(Render.unwrapInternVl("no markers here") == "no markers here")
+    assert(Render.unwrapInternVl("All words in the image:\nonly start") == "only start")
   }
 
   test("repairLeftRight: unbalanced strips, balanced untouched") {
