@@ -82,53 +82,69 @@ object Bench {
     // ---- phase 2: scaling protocol, N=8 vs 4N=32 cores, same input
     // (map-only, salted-shuffle) — the engine's production path is
     // map-only (payload bytes never shuffle); the salted variant bounds
-    // the cost of forcing the skew-defuse shuffle onto the scan side
-    def extractionRun(cores: Int): (Long, Double, Double, Double) = {
+    // the cost of forcing the skew-defuse shuffle onto the scan side.
+    //
+    // INTERLEAVED protocol (round 2 fix): this host's speed drifts with
+    // hypervisor burst state on a minutes scale, so measuring all @8
+    // passes and then all @32 passes lets drift between the two windows
+    // masquerade as (anti-)scaling — r1→r2 the same binary measured raw
+    // efficiency 0.82 vs 0.48 purely from phase timing. Each pass now
+    // measures @8 and @32 back-to-back (adjacent windows share host
+    // state), per-pass efficiency is computed within the pair, and the
+    // reported efficiency is the MEDIAN over pairs; throughputs are still
+    // per-level bests.
+    final case class Pass(n: Long, sec: Double, secChunked: Double, secSalted: Double)
+    def onePass(cores: Int, warm: Boolean): Pass = {
       val s = session(cores)
       try {
         val pages = IceLite.read(s, s"$benchRoot/pages")
-        // full untimed warmup pass: JIT-compiles the kernel hot loops and
-        // codegen'd stages so the timed passes measure steady state;
-        // best-of-3 filters residual GC/JIT/neighbor noise (BASELINE.md)
-        Pipeline.extract(pages, ExtractMode.Plain).count()
-        val runs = (1 to 3).map { _ =>
-          System.gc()
-          timed(Pipeline.extract(pages, ExtractMode.Plain).count())
-        }
-        val (n, sec) = runs.minBy(_._2)
+        // untimed warmup on the first pass per level: JIT-compiles the
+        // kernel hot loops (JIT state persists across sessions in-JVM)
+        if (warm) Pipeline.extract(pages, ExtractMode.Plain).count()
+        System.gc()
+        val (n, sec) = timed(Pipeline.extract(pages, ExtractMode.Plain).count())
         // the north rule's classify-then-aggregate stage: extract, then
         // per-host stats — partial aggregation means only tiny per-host
         // rows shuffle
-        val secChunked = (1 to 3).map { _ =>
-          timed(Pipeline.perHostStats(
-            Pipeline.extract(pages, ExtractMode.Plain).toDF()).count())._2
-        }.min
-        val secSalted = (1 to 3).map { _ =>
-          timed(Pipeline.extract(pages, ExtractMode.Plain,
-            numPartitions = 2 * cores, repartitionByHost = true).count())._2
-        }.min
-        (n, sec, secChunked, secSalted)
+        val secChunked = timed(Pipeline.perHostStats(
+          Pipeline.extract(pages, ExtractMode.Plain).toDF()).count())._2
+        val secSalted = timed(Pipeline.extract(pages, ExtractMode.Plain,
+          numPartitions = 2 * cores, repartitionByHost = true).count())._2
+        Pass(n, sec, secChunked, secSalted)
       } finally {
         s.stop()
         SparkSession.clearActiveSession()
         SparkSession.clearDefaultSession()
       }
     }
-    val (n8, sec8, chunked8, salted8) = extractionRun(8)
-    val (n32, sec32, chunked32, salted32) = extractionRun(32)
+    val pairs: Seq[(Pass, Pass)] = (1 to 3).map { p =>
+      (onePass(8, warm = p == 1), onePass(32, warm = p == 1))
+    }
+    def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.length / 2)
+    val n8 = pairs.head._1.n
+    val n32 = pairs.head._2.n
+    val sec8 = pairs.map(_._1.sec).min
+    val sec32 = pairs.map(_._2.sec).min
+    val chunked8 = pairs.map(_._1.secChunked).min
+    val chunked32 = pairs.map(_._2.secChunked).min
+    val salted8 = pairs.map(_._1.secSalted).min
+    val salted32 = pairs.map(_._2.secSalted).min
     val thr8 = n8 / sec8
     val thr32 = n32 / sec32
-    val eff = (thr32 / thr8) / 4.0
-    val effChunked = ((n32 / chunked32) / (n8 / chunked8)) / 4.0
-    val effSalted = ((n32 / salted32) / (n8 / salted8)) / 4.0
+    val eff = median(pairs.map { case (a, b) => (a.sec / b.sec) / 4.0 })
+    val effChunked = median(pairs.map { case (a, b) => (a.secChunked / b.secChunked) / 4.0 })
+    val effSalted = median(pairs.map { case (a, b) => (a.secSalted / b.secSalted) / 4.0 })
     // hardware parallel-scaling ceiling on this box (BASELINE.md):
-    // pure-CPU reference workload at the same two thread counts
+    // pure-CPU reference workload at the same two thread counts, also
+    // paired-adjacent for the same drift reason
     val hw1 = graft.util.HwCalib.calibrate(1) // absolute host-speed context:
     // this box's speed drifts with hypervisor burst state (measured 2x over
     // hours), so docs/sec is only comparable across rounds via this anchor
-    val hw8 = graft.util.HwCalib.calibrate(8)
-    val hw32 = graft.util.HwCalib.calibrate(32)
-    val hwCeiling = (hw32 / hw8) / 4.0
+    val hwCeiling = median((1 to 3).map { _ =>
+      val h8 = graft.util.HwCalib.calibrate(8)
+      val h32 = graft.util.HwCalib.calibrate(32)
+      (h32 / h8) / 4.0
+    })
     val effNorm = eff / hwCeiling
 
     val qs = queryTimes.map { case (k, v) => s""""$k":${f"$v%.3f"}""" }.mkString("{", ",", "}")
@@ -161,8 +177,11 @@ object Bench {
          |(FIXTURES.md mix: html/pdf/multipage/hostile), identical bytes for
          |both runs. Protocol per BASELINE.md: same job, same input, two
          |parallelism levels, shuffle partitions = 2× cores, AQE on,
-         |splits sized ≥4× cores, untimed warmup pass then best-of-3
-         |timed passes per level (filters GC/JIT/noisy-neighbor noise).
+         |splits sized ≥4× cores, untimed warmup then three INTERLEAVED
+         |(8,32) pass pairs — each efficiency is computed within an
+         |adjacent pair and the median pair is reported, so hypervisor
+         |burst-state drift between measurement windows cannot masquerade
+         |as (anti-)scaling; throughputs are per-level bests.
          |
          |Production path = map-only extraction (payload bytes never
          |shuffle; the salted url-host repartition applies to the stages

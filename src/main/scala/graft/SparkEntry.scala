@@ -433,12 +433,14 @@ object SparkEntry {
         .as[(String, String, String)]
         .map { case (url, pred, gt) =>
           val m = Metrics.perDoc(pred, gt)
-          (url, m.getOrElse("bleu", 0.0), m.getOrElse("f_measure", 0.0),
+          (url, m.getOrElse("bleu", 0.0), m.getOrElse("meteor", 0.0),
+            m.getOrElse("f_measure", 0.0),
             m.getOrElse("precision", 0.0), m.getOrElse("recall", 0.0),
             m.getOrElse("edit_dist", 0.0), m.getOrElse("chrf", 0.0))
         }
-        .toDF("url", "bleu", "f_measure", "precision", "recall", "edit_dist", "chrf")
+        .toDF("url", "bleu", "meteor", "f_measure", "precision", "recall", "edit_dist", "chrf")
         .agg(count(lit(1)).as("n_docs"), avg("bleu").as("bleu"),
+          avg("meteor").as("meteor"),
           avg("f_measure").as("f_measure"), avg("precision").as("precision"),
           avg("recall").as("recall"), avg("edit_dist").as("edit_dist"),
           avg("chrf").as("chrf"))
@@ -456,11 +458,13 @@ object SparkEntry {
         .orderBy("url")
     }),
     "x07_simhash_dedup" -> ((s, dir) => {
-      import s.implicits._
-      t(s, dir, "documents").select(col("doc_id"), col("text"))
-        .as[(Long, String)]
-        .map { case (id, text) => (id, graft.functions.TextSketch.simhash64(text)) }
-        .toDF("doc_id", "simhash")
+      // native codegen expression (SimHash64Expr): no object
+      // serialization boundary — the sketch stays inside whole-stage
+      // codegen (the Dataset.map form broke the span with
+      // DeserializeToObject/MapElements)
+      graft.functions.SimHash64Expr.register(s)
+      t(s, dir, "documents")
+        .select(col("doc_id"), expr("simhash64(text)").as("simhash"))
         .withColumn("band", shiftrightunsigned(col("simhash"), 48).cast("int"))
         .groupBy(col("band")).agg(count(lit(1)).as("n_docs"),
           countDistinct(col("simhash")).as("n_distinct"))
@@ -571,13 +575,14 @@ object SparkEntry {
             .filter { case (_, pc, gc) => pc.nonEmpty && gc.nonEmpty } // F3
             .map { case (cat, pc, gc) =>
               val m = Metrics.perDoc(pc, gc)
-              (cat, m("bleu"), m("f_measure"), m("precision"), m("recall"),
-                m("edit_dist"), m("chrf"))
+              (cat, m("bleu"), m("meteor"), m("f_measure"), m("precision"),
+                m("recall"), m("edit_dist"), m("chrf"))
             }
         }
-        .toDF("category", "bleu", "f_measure", "precision", "recall", "edit_dist", "chrf")
+        .toDF("category", "bleu", "meteor", "f_measure", "precision", "recall", "edit_dist", "chrf")
         .groupBy(col("category"))
         .agg(count(lit(1)).as("n_docs"), avg("bleu").as("bleu"),
+          avg("meteor").as("meteor"),
           avg("f_measure").as("f_measure"), avg("precision").as("precision"),
           avg("recall").as("recall"), avg("edit_dist").as("edit_dist"),
           avg("chrf").as("chrf"))

@@ -50,14 +50,31 @@ object TextSketch extends Serializable {
     else (0 to t.length - n).iterator.map(i => t.slice(i, i + n).mkString(" "))
   }
 
-  /** k-permutation MinHash signature over shingles. */
+  /** splitmix64 finalizer — a full-avalanche 64-bit mixer (public
+    * constant set, Steele et al. / Stafford mix13). */
+  @inline private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** k-permutation MinHash signature over shingles.
+    *
+    * Hash cost shape: each shingle is string-hashed ONCE (xxh64), and the
+    * k permutations derive from the base value with a full-avalanche
+    * integer mixer — the standard "one hash + k universal rotations"
+    * MinHash construction. The previous form re-hashed the shingle
+    * string k times (k× allocations + string walks per shingle); on the
+    * dedup path minhash dominates kernel cost, so this is the difference
+    * between O(k·len) and O(len + k) per shingle at 100 TB. */
   def minhashSignature(text: String, k: Int = MinHashK): Array[Long] = {
     val sig = Array.fill(k)(Long.MaxValue)
     shingles(text).foreach { sh =>
+      val base = Hash64.xxh64(sh, 0xdedca42L)
       var i = 0
       while (i < k) {
-        // universal-hash rotation of the base shingle hash per permutation
-        val h = Hash64.xxh64(sh, 0xdedca42L + i * 0x9e3779b97f4a7c15L)
+        val h = mix64(base ^ (i * 0x9e3779b97f4a7c15L))
         if (h < sig(i)) sig(i) = h
         i += 1
       }

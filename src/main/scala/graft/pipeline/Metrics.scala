@@ -138,6 +138,63 @@ object Metrics {
     else (1 + beta * beta) * p * r / (beta * beta * p + r)
   }
 
+  // --------------------------------------------------------- METEOR (A5)
+
+  /** METEOR (Banerjee & Lavie 2005), re-derived from the published
+    * definition with the parameters the reference's scorer defaults to
+    * (alpha=0.9, beta=3, gamma=0.5; eval_ocr.py:90 calls nltk
+    * meteor_score): unigram alignment in ordered stages — exact match,
+    * then Porter-stem match — followed by the fragmentation penalty over
+    * chunk count. The third nltk stage (WordNet synonymy) requires the
+    * WordNet database and is omitted — documented residual gap; on
+    * transcription-style text synonym matches are rare, so this covers
+    * the metric's mass. chrF remains available alongside.
+    */
+  def meteor(reference: Array[String], hypothesis: Array[String],
+      alpha: Double = 0.9, beta: Double = 3.0, gamma: Double = 0.5): Double = {
+    if (reference.isEmpty || hypothesis.isEmpty) return 0.0
+    val refMatched = new Array[Boolean](reference.length)
+    val hypMatched = new Array[Boolean](hypothesis.length)
+    val pairs = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)] // (hypIdx, refIdx)
+    def stage(key: String => String): Unit = {
+      val refKeys = reference.map(key)
+      val hypKeys = hypothesis.map(key)
+      var i = 0
+      while (i < hypothesis.length) {
+        if (!hypMatched(i)) {
+          var j = 0
+          var found = -1
+          while (found < 0 && j < reference.length) {
+            if (!refMatched(j) && refKeys(j) == hypKeys(i)) found = j
+            j += 1
+          }
+          if (found >= 0) {
+            refMatched(found) = true; hypMatched(i) = true
+            pairs += ((i, found))
+          }
+        }
+        i += 1
+      }
+    }
+    stage(identity)             // stage 1: exact
+    stage(PorterStemmer.stem)   // stage 2: stems
+    val m = pairs.length
+    if (m == 0) return 0.0
+    val sorted = pairs.sortBy(_._1)
+    var chunks = 1
+    var k = 1
+    while (k < sorted.length) {
+      if (sorted(k)._1 != sorted(k - 1)._1 + 1 || sorted(k)._2 != sorted(k - 1)._2 + 1)
+        chunks += 1
+      k += 1
+    }
+    val p = m.toDouble / hypothesis.length
+    val r = m.toDouble / reference.length
+    val fmean = p * r / (alpha * p + (1 - alpha) * r)
+    val penalty = gamma * math.pow(chunks.toDouble / m, beta)
+    fmean * (1.0 - penalty)
+  }
+
   // ------------------------------------------- category split (§2.8, A2)
 
   /** The reference's three output-category regexes, ported byte-exactly
@@ -176,6 +233,7 @@ object Metrics {
     val hypSet = hyp.toSet
     Map(
       "bleu" -> bleu(ref, hyp),
+      "meteor" -> meteor(ref, hyp),
       "chrf" -> chrF(gt, pred),
       "f_measure" -> fMeasure(refSet, hypSet),
       "precision" -> precision(refSet, hypSet),

@@ -97,6 +97,35 @@ class ScaleGuardSpec extends AnyFunSuite {
     assert(a.nonEmpty && a == b)
   }
 
+  test("simhash64 expression: codegen path equals the kernel, stays in WSCG") {
+    import spark.implicits._
+    graft.functions.SimHash64Expr.register(spark)
+    val texts = Seq("the quick brown fox", "", "一 二 三 mixed script",
+      "a " * 200 + "long tail", "single")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val got = df.selectExpr("id", "simhash64(text) AS h").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(got(i.toLong) == TextSketch.simhash64(t), s"text #$i")
+    }
+    // null stays null
+    val nulls = Seq((0L, null: String)).toDF("id", "text")
+      .selectExpr("simhash64(text) AS h").collect()
+    assert(nulls.head.isNullAt(0))
+    // the projection must stay inside whole-stage codegen: no
+    // object-serialization operators in the plan (checked over a real
+    // parquet scan — a local Seq relation folds to LocalTableScan and
+    // never reaches codegen at all)
+    val plan = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .selectExpr("simhash64(text) AS h")
+      .queryExecution.executedPlan.toString
+    // "*(n)" is the whole-stage-codegen marker in the compact plan form
+    assert(plan.contains("*(1) Project [simhash64expr"), plan)
+    assert(!plan.contains("MapElements") && !plan.contains("DeserializeToObject"), plan)
+    // and column pruning reaches the scan through the expression
+    assert(plan.contains("ReadSchema: struct<text:string>"), plan)
+  }
+
   test("WARC: one malformed record mid-file loses only itself") {
     val good1 = Warc.write(Seq(Warc.Record("https://one.example.com/", "2024-01-01T00:00:00Z",
       "text/html", "<p>first valid record body</p>".getBytes(UTF_8))))
