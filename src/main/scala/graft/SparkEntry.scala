@@ -344,6 +344,26 @@ object SparkEntry {
         .orderBy("vec_a", "vec_b")
     }),
 
+    "q24_quality_filter" -> ((s, dir) => {
+      // Gopher-family document-quality gate (training-data pipeline op):
+      // word count, mean word length, stopword-presence rules as pure
+      // integer/floor arithmetic so the oracle comparison is exact.
+      val d = t(s, dir, "documents")
+      val nWords = size(split(col("text"), " ")).cast("long")
+      val nNospace = length(replace(col("text"), lit(" "), lit(""))).cast("long")
+      val mwl = floor(lit(100.0) * nNospace / greatest(nWords, lit(1L))).cast("long")
+      val stopThe = ((length(col("text")) -
+        length(replace(col("text"), lit(" the "), lit("")))) / 5).cast("long")
+      d.select(col("lang"), nWords.as("n_words"), mwl.as("mwl_x100"), stopThe.as("stop_the"))
+        .withColumn("pass",
+          col("n_words") >= 20 && col("mwl_x100").between(250, 1200) && col("stop_the") >= 1)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("pass"), 1L).otherwise(0L)).as("n_pass"),
+          sum(col("n_words")).as("sum_words"),
+          sum(col("mwl_x100")).as("sum_mwl_x100"))
+        .orderBy("lang")
+    }),
     "q23_category_eval" -> ((s, dir) => {
       // J2 + A2: per-category formatted eval — the reference's most-used
       // eval mode for formatted output (eval_ocr_format.py:106-180): split
@@ -472,6 +492,18 @@ object SparkEntry {
     }),
     "x08_minhash_lsh_pairs" -> ((s, dir) => {
       graft.functions.TextSketch.lshCandidatePairs(t(s, dir, "documents"))
+    }),
+    "x19_dedup_clusters" -> ((s, dir) => {
+      // dedup END-TO-END: candidate pairs (MinHash-LSH + exact collapse)
+      // -> connected components (iterative min-label propagation, one
+      // shuffle per hop) -> cluster-size histogram. In production the
+      // keep-list is `label == id` (component representative); the
+      // histogram is the operator's observable summary.
+      val pairs = graft.functions.TextSketch.lshCandidatePairs(t(s, dir, "documents"))
+      val comps = graft.functions.TextSketch.connectedComponents(pairs)
+      comps.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
+        .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+        .orderBy("cluster_size")
     }),
     "x13_langid_ngram" -> ((s, dir) => {
       import s.implicits._
@@ -801,6 +833,18 @@ object SparkEntry {
         |WHERE list_dot_product(a.v, b.v) /
         |  (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.92
         |ORDER BY vec_a, vec_b""".stripMargin,
+    "q24_quality_filter" ->
+      """WITH q AS (
+        |  SELECT lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |    CAST(floor(100.0 * length(replace(text, ' ', '')) / greatest(len(string_split(text, ' ')), 1)) AS BIGINT) AS mwl_x100,
+        |    CAST((length(text) - length(replace(text, ' the ', ''))) / 5 AS BIGINT) AS stop_the
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN n_words >= 20 AND mwl_x100 BETWEEN 250 AND 1200 AND stop_the >= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+        |  CAST(sum(n_words) AS BIGINT) AS sum_words,
+        |  CAST(sum(mwl_x100) AS BIGINT) AS sum_mwl_x100
+        |FROM q GROUP BY lang ORDER BY lang""".stripMargin,
     "q23_category_eval" ->
       """WITH d AS (
         |  SELECT doc_id,

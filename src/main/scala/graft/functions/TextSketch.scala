@@ -201,6 +201,56 @@ object TextSketch extends Serializable {
     out
   }
 
+  /** Connected components over an undirected (doc_a, doc_b) edge list by
+    * iterative minimum-label propagation — the step that turns near-dup
+    * CANDIDATE PAIRS into dedup clusters (one representative kept per
+    * component, the rest dropped).
+    *
+    * Scale shape: each iteration is one shuffle (edge-label join + min
+    * aggregate); convergence needs O(component diameter) iterations, and
+    * dedup graphs are star-shaped by construction here (exact-dup and
+    * degenerate-bucket pairs all go through a min-id hub, LSH pairs are
+    * dense cliques), so 2-3 iterations close real crawl graphs. Labels
+    * are vertex ids (longs) — no strings shuffle. The per-iteration
+    * convergence check is an aggregated count, not a collect.
+    */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val spark = pairs.sparkSession
+    val edges = pairs.select(col("doc_a").cast("long").as("src"), col("doc_b").cast("long").as("dst"))
+      .unionByName(pairs.select(col("doc_b").cast("long").as("src"), col("doc_a").cast("long").as("dst")))
+      .distinct()
+      .persist()
+    // Lineage is TRUNCATED each iteration (localCheckpoint, eager):
+    // persist alone caches data but the LOGICAL plan still contains the
+    // previous iteration's tree, so an iterative self-join doubles the
+    // plan per hop — by ~15 hops the plan string alone OOMs the driver
+    // (observed: AdaptiveSparkPlanExec.onUpdatePlan -> explainString ->
+    // heap). At 10^12-row scale swap localCheckpoint for a reliable
+    // checkpoint dir; the shape is otherwise identical.
+    var cur = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label"))
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIters) {
+      // best label reachable over one hop
+      val viaNeighbor = edges.join(cur.select(col("id").as("src"), col("label")), Seq("src"))
+        .groupBy(col("dst").as("id"))
+        .agg(min(col("label")).as("nbr_label"))
+      val next = cur.join(viaNeighbor, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"),
+          (col("nbr_label").isNotNull && col("nbr_label") < col("label")).as("changed"))
+        .localCheckpoint(true) // materializes AND truncates the plan
+      val nChanged = next.filter(col("changed")).count()
+      cur = next.select(col("id"), col("label"))
+      converged = nChanged == 0
+      iter += 1
+    }
+    edges.unpersist()
+    cur
+  }
+
   // ------------------------------------------------- ANN (embeddings)
 
   /** Seed-fixed ±1 hyperplane matrix, computed ONCE per

@@ -97,6 +97,31 @@ class ScaleGuardSpec extends AnyFunSuite {
     assert(a.nonEmpty && a == b)
   }
 
+  test("connected components: chains, cliques, singletons-by-absence") {
+    import spark.implicits._
+    // components: chain 1-2-3-4 (diameter 3 forces >1 iteration),
+    // clique 10-11-12, pair 20-21; ids 30+ never appear (no edges -> no rows)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (20L, 21L)).toDF("doc_a", "doc_b")
+    val labels = TextSketch.connectedComponents(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("connected components: invariant to input partitioning") {
+    import spark.implicits._
+    val r = new graft.util.SplitMix64(5L)
+    // random graph over 300 vertices, ~200 edges
+    val edges = (0 until 200).map(_ => (r.nextInt(300).toLong, r.nextInt(300).toLong))
+      .filter { case (a, b) => a != b }.toDF("doc_a", "doc_b")
+    val a = TextSketch.connectedComponents(edges.repartition(1)).collect()
+      .map(_.toString).sorted.toSeq
+    val b = TextSketch.connectedComponents(edges.repartition(11)).collect()
+      .map(_.toString).sorted.toSeq
+    assert(a.nonEmpty && a == b)
+  }
+
   test("simhash64 expression: codegen path equals the kernel, stays in WSCG") {
     import spark.implicits._
     graft.functions.SimHash64Expr.register(spark)
