@@ -544,6 +544,33 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), sum(length(col("text"))).as("out_chars"))
         .orderBy("status")
     }),
+    "x20_crawl_sessions" -> ((s, _) => {
+      // custom-state streaming (flatMapGroupsWithState + event-time
+      // timeout): per-host crawl sessionization with a 7-day gap over the
+      // micro corpus. availableNow drains the corpus in one batch, so the
+      // emitted rows are the sessions CLOSED by in-data gaps; each host's
+      // trailing session stays in state (it would flush on the next
+      // incremental run's watermark) — exactly the streaming-resume
+      // semantics the engine's lineage table gives the batch path.
+      val (pagesDir, _) = microTables(s)
+      val run = s"$SynthRoot/sessions_${java.util.UUID.randomUUID().toString.take(8)}"
+      val events = graft.streaming.StreamingExtract.sessionEvents(
+        s, s"$pagesDir/data/*.parquet")
+      val q = graft.streaming.StreamingExtract.crawlSessions(events, gapMinutes = 7 * 24 * 60)
+        .writeStream.format("parquet")
+        .option("path", s"$run/out")
+        .option("checkpointLocation", s"$run/ckpt")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$run/out")
+        .groupBy(col("host"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(col("n_pages")).as("pages_in_closed"),
+          sum(col("bytes")).as("bytes_in_closed"))
+        .orderBy("host")
+    }),
     "x16_warc_ingest" -> ((s, _) => {
       // Common-Crawl-native ingest: synthesize WARC captures (one gzip,
       // one plain), ingest -> pages shape -> extraction, count by status

@@ -2,10 +2,20 @@ package graft.streaming
 
 import graft.extract.ExtractMode
 import graft.pipeline.Pipeline
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 import org.apache.spark.sql.types._
+
+/** One page observation entering sessionization. */
+final case class PageEvent(host: String, ts: java.sql.Timestamp, bytes: Long)
+
+/** Open-session state kept per host between micro-batches. */
+final case class SessionState(startMs: Long, endMs: Long, nPages: Long, bytes: Long)
+
+/** A closed crawl session (emitted downstream). */
+final case class HostSession(host: String, start_ms: Long, end_ms: Long,
+    n_pages: Long, bytes: Long)
 
 /** Incremental extraction as a Structured Streaming job (SURVEY.md §2.9):
   * the idiomatic Spark home for the reference's resume-loop behavior.
@@ -42,6 +52,71 @@ object StreamingExtract {
         extracted.write.mode("append").parquet(outDir)
       }
       .start()
+  }
+
+  /** Per-host crawl sessionization — the CUSTOM-STATE streaming surface
+    * (KeyValueGroupedDataset.flatMapGroupsWithState, SURVEY.md §2.9):
+    * consecutive fetches of one host within `gap` belong to one session;
+    * a gap closes the session and emits it. State per host is one
+    * fixed-size record; event-time timeout (driven by the watermark)
+    * flushes sessions for hosts that simply stop appearing — the case a
+    * pure groupBy-window cannot express (sessions have DATA-dependent,
+    * not clock-aligned, boundaries).
+    *
+    * Scale shape: state is O(live hosts), not O(pages); each micro-batch
+    * shuffles only (host, ts, bytes) triples, never payloads.
+    */
+  def crawlSessions(events: Dataset[PageEvent],
+      gapMinutes: Int = 60): Dataset[HostSession] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMs = gapMinutes * 60L * 1000L
+    events
+      .withWatermark("ts", "1 day")
+      .groupByKey(_.host)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (host: String, rows: Iterator[PageEvent], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(HostSession(host, s.startMs, s.endMs, s.nPages, s.bytes))
+          } else {
+            // event order within a micro-batch is not guaranteed
+            val sorted = rows.toArray.sortBy(_.ts.getTime)
+            val closed = Vector.newBuilder[HostSession]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.endMs <= gapMs =>
+                  cur = Some(SessionState(s.startMs, math.max(s.endMs, t),
+                    s.nPages + 1, s.bytes + e.bytes))
+                case Some(s) =>
+                  closed += HostSession(host, s.startMs, s.endMs, s.nPages, s.bytes)
+                  cur = Some(SessionState(t, t, 1L, e.bytes))
+                case None =>
+                  cur = Some(SessionState(t, t, 1L, e.bytes))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.endMs + gapMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
+  /** Streaming source for sessionization over a pages parquet glob. */
+  def sessionEvents(spark: SparkSession, pagesGlob: String): Dataset[PageEvent] = {
+    import spark.implicits._
+    spark.readStream
+      .schema(pagesSchema)
+      .parquet(pagesGlob)
+      .select(parse_url(col("url"), lit("HOST")).as("host"),
+        col("warc_ts").as("ts"),
+        length(col("html")).cast("long").as("bytes"))
+      .as[PageEvent]
   }
 
   /** Windowed extraction-rate monitoring over the crawl timestamps —

@@ -1,0 +1,80 @@
+package graft
+
+import graft.streaming.{HostSession, PageEvent, StreamingExtract}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Custom-state streaming (flatMapGroupsWithState + event-time timeout):
+  * per-host crawl sessionization with data-dependent session boundaries. */
+class SessionizationSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("sessionization-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def ev(host: String, ts: String, bytes: Long = 100L): PageEvent =
+    PageEvent(host, java.sql.Timestamp.valueOf(ts), bytes)
+
+  test("sessions close on gap within a batch and on watermark timeout") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[PageEvent]
+    val q = StreamingExtract.crawlSessions(input.toDS(), gapMinutes = 60)
+      .writeStream.format("memory").queryName("sessions_t1")
+      .outputMode("append").start()
+    try {
+      // batch 1: two fetches 30 min apart (one session), then a fetch
+      // 2.5 h later — the gap closes session 1 inside the batch
+      input.addData(
+        ev("a.example.com", "2024-01-01 10:00:00"),
+        ev("a.example.com", "2024-01-01 10:30:00", bytes = 50L),
+        ev("a.example.com", "2024-01-01 13:00:00"))
+      q.processAllAvailable()
+      val afterB1 = spark.table("sessions_t1").as[HostSession].collect()
+      assert(afterB1.toSeq == Seq(HostSession("a.example.com",
+        ts("2024-01-01 10:00:00"), ts("2024-01-01 10:30:00"), 2L, 150L)))
+
+      // batch 2 advances event time far ahead (another host); batch 3
+      // runs with the advanced watermark -> a.example.com's open session
+      // fires its event-time timeout and is emitted
+      input.addData(ev("b.example.com", "2024-01-05 00:00:00"))
+      q.processAllAvailable()
+      input.addData(ev("b.example.com", "2024-01-05 00:01:00"))
+      q.processAllAvailable()
+      val all = spark.table("sessions_t1").as[HostSession].collect().toSet
+      assert(all.contains(HostSession("a.example.com",
+        ts("2024-01-01 13:00:00"), ts("2024-01-01 13:00:00"), 1L, 100L)),
+        all.toString)
+      // b's session is still open (no gap, no timeout) -> not emitted
+      assert(!all.exists(_.host == "b.example.com"), all.toString)
+    } finally q.stop()
+  }
+
+  test("out-of-order events within a batch are sorted before sessionizing") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[PageEvent]
+    val q = StreamingExtract.crawlSessions(input.toDS(), gapMinutes = 60)
+      .writeStream.format("memory").queryName("sessions_t2")
+      .outputMode("append").start()
+    try {
+      // delivered out of order; sorted they form session [09:00-09:20]
+      // then a gap to 12:00
+      input.addData(
+        ev("c.example.com", "2024-02-01 09:20:00"),
+        ev("c.example.com", "2024-02-01 12:00:00"),
+        ev("c.example.com", "2024-02-01 09:00:00"))
+      q.processAllAvailable()
+      val got = spark.table("sessions_t2").as[HostSession].collect().toSeq
+      assert(got == Seq(HostSession("c.example.com",
+        ts("2024-02-01 09:00:00"), ts("2024-02-01 09:20:00"), 2L, 200L)))
+    } finally q.stop()
+  }
+
+  private def ts(s: String): Long = java.sql.Timestamp.valueOf(s).getTime
+}
