@@ -342,13 +342,24 @@ object SynthCorpus {
 
     typ match {
       case "pdf" =>
-        val nLines = 5 + r.nextInt(26)
         // PDF strings are latin-1 bytes; fold the entity-exercising
         // specials to ASCII so writer/parser round-trip byte-exactly
-        val lines = (0 until nLines).map(_ => sentence(r)
-          .replace("…", "...").replace("—", "-").replace("©", "(c)"))
-        val bytes = PdfWriter.make(lines)
-        val expected = lines.mkString("\n")
+        def pdfLine(): String = sentence(r)
+          .replace("…", "...").replace("—", "-").replace("©", "(c)")
+        val twoCol = r.nextInt(3) == 0
+        val (bytes, expected) =
+          if (twoCol) {
+            // two-column page EMITTED in interleaved row order (the
+            // row-major generator order); the expectation is constructed
+            // here independently of the parser — reading order is the
+            // full left column then the full right column
+            val left = (0 until 3 + r.nextInt(8)).map(_ => pdfLine())
+            val right = (0 until 3 + r.nextInt(8)).map(_ => pdfLine())
+            (PdfWriter.makeTwoColumn(left, right), (left ++ right).mkString("\n"))
+          } else {
+            val lines = (0 until 5 + r.nextInt(26)).map(_ => pdfLine())
+            (PdfWriter.make(lines), lines.mkString("\n"))
+          }
         val page = PageRow(url, ts, bytes, noisy(expected, r), "en")
         val golden = GoldenRow(url, "plain", "{}", expected.getBytes(UTF_8),
           Seq(Span(0L, bytes.length.toLong, "pdf")), "text")

@@ -4,16 +4,30 @@ import java.nio.charset.StandardCharsets.ISO_8859_1
 import java.util.zip.Inflater
 import scala.collection.mutable.ArrayBuffer
 
+/** One positioned text line: (x, y) is the text-space position of the
+  * line's first show op (PDF y grows upward). */
+final case class PdfLine(x: Double, y: Double, text: String)
+
 /** From-scratch PDF content-stream text extractor (the binary-payload
   * path of BASELINE.json: "PDF content-stream parser ... plus layout").
   *
-  * v1 layout model (SURVEY.md §7 hard-part (c)): single-column reading
-  * order — every text-positioning op (Td, TD, T*, Tm, ', ") starts a new
-  * line; show ops (Tj, TJ, ', ") append to the current line; lines join
-  * with '\n'. Never throws on hostile bytes: malformed structures yield
-  * best-effort text (possibly empty).
+  * Layout model (SURVEY.md §7 hard-part (c)): every text-positioning op
+  * (Td, TD, T-star, Tm, quote ops) starts a new line; show ops (Tj, TJ,
+  * quote ops) append to the current line; lines join with '\n'.
+  * Positions are tracked through the line matrix (Tm absolute, Td/TD
+  * relative, T-star/TL leading), and reading order is column-aware: when a page's line
+  * x-starts are bimodal (largest gap ≥ one inch with ≥3 lines per side —
+  * a column gutter, never a paragraph indent), each column is emitted
+  * top-to-bottom, left column first, recursively for 3+ columns.
+  * Single-column pages keep exact DOCUMENT order (golden byte-identity
+  * is unchanged for them). Never throws on hostile bytes: malformed
+  * structures yield best-effort text (possibly empty).
   */
 object PdfParser {
+
+  /** Minimum x gap treated as a column gutter (1 inch = 72 pt; paragraph
+    * indents are well under this). */
+  final val MinGutterPts = 72.0
 
   def isPdf(bytes: Array[Byte]): Boolean =
     bytes.length >= 5 && bytes(0) == '%' && bytes(1) == 'P' &&
@@ -23,8 +37,40 @@ object PdfParser {
   def extractText(bytes: Array[Byte]): String = {
     val streams = findStreams(bytes)
     val lines = new ArrayBuffer[String]
-    streams.foreach { s => parseContent(s, lines) }
+    streams.foreach { s =>
+      val page = new ArrayBuffer[PdfLine]
+      parseContent(s, page)
+      orderColumns(page.toSeq).foreach(lines += _.text)
+    }
     lines.mkString("\n")
+  }
+
+  /** Column-aware reading order for one page (content stream). Splits
+    * recursively at the largest x-start gap when it looks like a gutter;
+    * inside a column, lines read top-down (y desc; stable, so equal-y
+    * lines keep document order). A page with no detectable gutter is
+    * returned in document order untouched. */
+  private[graft] def orderColumns(ls: Seq[PdfLine]): Seq[PdfLine] = {
+    def splitCols(c: Seq[PdfLine]): Seq[Seq[PdfLine]] = {
+      if (c.length < 6) return Seq(c)
+      val xs = c.map(_.x).distinct.sorted
+      if (xs.length < 2) return Seq(c)
+      var bestGap = 0.0
+      var split = 0.0
+      var i = 1
+      while (i < xs.length) {
+        val g = xs(i) - xs(i - 1)
+        if (g > bestGap) { bestGap = g; split = (xs(i) + xs(i - 1)) / 2 }
+        i += 1
+      }
+      if (bestGap < MinGutterPts) return Seq(c)
+      val (left, right) = c.partition(_.x < split)
+      if (left.length < 3 || right.length < 3) return Seq(c)
+      splitCols(left) ++ splitCols(right)
+    }
+    val cols = splitCols(ls)
+    if (cols.length == 1) ls
+    else cols.flatMap(_.sortBy(l => -l.y)) // Scala sortBy is stable
   }
 
   /** Locate `stream ... endstream` payloads; inflate when the preceding
@@ -83,20 +129,36 @@ object PdfParser {
     } catch { case _: Throwable => Array.emptyByteArray }
   }
 
-  /** Parse one content stream, appending completed lines. */
-  private[pdf] def parseContent(stream: Array[Byte], lines: ArrayBuffer[String]): Unit = {
+  /** Parse one content stream, appending completed positioned lines.
+    * Tracks the line position through Tm (absolute), Td/TD (relative),
+    * and the T-star / quote ops (advance by leading, set via TL or TD). */
+  private[graft] def parseContent(stream: Array[Byte], lines: ArrayBuffer[PdfLine]): Unit = {
     val s = new String(stream, ISO_8859_1)
     val n = s.length
     var i = 0
     val cur = new StringBuilder
     var anyShow = false
+    // line-matrix position + leading (text state)
+    var lineX = 0.0; var lineY = 0.0; var leading = 0.0
+    // position captured at the line's FIRST show op
+    var curX0 = 0.0; var curY0 = 0.0
     def breakLine(): Unit = {
-      if (anyShow) { lines += cur.toString; cur.clear(); anyShow = false }
+      if (anyShow) { lines += PdfLine(curX0, curY0, cur.toString); cur.setLength(0); anyShow = false }
     }
-    // last string/array tokens seen (operands stack, strings only)
+    def show(str: String): Unit = {
+      if (!anyShow) { curX0 = lineX; curY0 = lineY }
+      cur.append(str)
+      anyShow = true
+    }
+    // operand stacks: strings and numbers (strings only ever consumed
+    // by show ops; numbers by positioning ops)
     val operands = new ArrayBuffer[String]
+    val nums = new ArrayBuffer[Double]
     var lastWasArray = false
     var arrayStrings: List[String] = Nil
+    def num(fromEnd: Int): Double =
+      if (nums.length >= fromEnd) nums(nums.length - fromEnd) else 0.0
+    def clearOps(): Unit = { operands.clear(); nums.clear(); lastWasArray = false }
 
     while (i < n) {
       val c = s.charAt(i)
@@ -117,34 +179,65 @@ object PdfParser {
         i = next
       } else if (c == '%') {
         while (i < n && s.charAt(i) != '\n') i += 1
+      } else if ((c >= '0' && c <= '9') || c == '-' || c == '+' || c == '.') {
+        val start = i
+        i += 1
+        while (i < n && ((s.charAt(i) >= '0' && s.charAt(i) <= '9') || s.charAt(i) == '.')) i += 1
+        try nums += s.substring(start, i).toDouble
+        catch { case _: NumberFormatException => () } // lone '-'/'+'/'.'
       } else if (isOpChar(c)) {
         val start = i
         while (i < n && isOpChar(s.charAt(i))) i += 1
         s.substring(start, i) match {
-          case "Td" | "TD" | "T*" | "Tm" =>
+          case "Td" =>
             breakLine()
+            lineX += num(2); lineY += num(1)
+            clearOps()
+          case "TD" =>
+            breakLine()
+            leading = -num(1)
+            lineX += num(2); lineY += num(1)
+            clearOps()
+          case "T*" =>
+            breakLine()
+            lineY -= leading
+            clearOps()
+          case "Tm" =>
+            breakLine()
+            if (nums.length >= 6) { lineX = num(2); lineY = num(1) }
+            clearOps()
+          case "TL" =>
+            leading = num(1)
+            clearOps()
           case "Tj" =>
-            if (operands.nonEmpty) { cur.append(operands.last); anyShow = true }
-            operands.clear()
+            if (operands.nonEmpty) show(operands.last)
+            clearOps()
           case "TJ" =>
-            if (lastWasArray) { arrayStrings.foreach(cur.append); anyShow = arrayStrings.nonEmpty || anyShow }
+            if (lastWasArray && arrayStrings.nonEmpty) {
+              if (!anyShow) { curX0 = lineX; curY0 = lineY }
+              arrayStrings.foreach(cur.append)
+              anyShow = true
+            }
             lastWasArray = false
           case "'" =>
             breakLine()
-            if (operands.nonEmpty) { cur.append(operands.last); anyShow = true }
-            operands.clear()
+            lineY -= leading
+            if (operands.nonEmpty) show(operands.last)
+            clearOps()
           case "\"" =>
             breakLine()
-            if (operands.nonEmpty) { cur.append(operands.last); anyShow = true }
-            operands.clear()
+            lineY -= leading
+            if (operands.nonEmpty) show(operands.last)
+            clearOps()
           case "ET" | "BT" =>
             breakLine()
-            operands.clear(); lastWasArray = false
+            lineX = 0.0; lineY = 0.0
+            clearOps()
           case _ =>
-            operands.clear()
+            clearOps()
         }
       } else {
-        i += 1 // numbers, names, whitespace, dict delimiters
+        i += 1 // names, whitespace, dict delimiters
       }
     }
     breakLine()

@@ -61,10 +61,38 @@ object PdfWriter {
     out.toByteArray
   }
 
+  /** Two-column page whose content stream emits text in INTERLEAVED row
+    * order (L1, R1, L2, R2, …) with absolute Tm positioning — the order a
+    * row-major generator (or a naive printer) writes a two-column layout,
+    * and exactly what breaks extraction that trusts document order. The
+    * correct reading order is the full left column then the full right
+    * column; PdfParser's column detection must recover it. */
+  def contentStreamTwoColumn(left: Seq[String], right: Seq[String],
+      leftX: Int = 72, rightX: Int = 330): String = {
+    val b = new StringBuilder
+    b.append("BT\n/F1 12 Tf\n")
+    val rows = math.max(left.length, right.length)
+    (0 until rows).foreach { r =>
+      val y = 720 - 14 * r
+      if (r < left.length)
+        b.append(s"1 0 0 1 $leftX $y Tm\n(").append(escapeString(left(r))).append(") Tj\n")
+      if (r < right.length)
+        b.append(s"1 0 0 1 $rightX $y Tm\n(").append(escapeString(right(r))).append(") Tj\n")
+    }
+    b.append("ET\n")
+    b.toString
+  }
+
+  def makeTwoColumn(left: Seq[String], right: Seq[String]): Array[Byte] =
+    makeWithContent(contentStreamTwoColumn(left, right))
+
   /** Full single-page PDF with a correct xref table. Lines must be
     * ISO-8859-1-representable (the generator keeps PDFs ASCII). */
-  def make(lines: Seq[String]): Array[Byte] = {
-    val content = deflate(contentStream(lines).getBytes(ISO_8859_1))
+  def make(lines: Seq[String]): Array[Byte] =
+    makeWithContent(contentStream(lines))
+
+  def makeWithContent(contentStr: String): Array[Byte] = {
+    val content = deflate(contentStr.getBytes(ISO_8859_1))
     val out = new ByteArrayOutputStream(content.length + 1024)
     def w(s: String): Unit = out.write(s.getBytes(ISO_8859_1))
     val offsets = new Array[Int](6)
