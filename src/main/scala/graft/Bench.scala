@@ -165,9 +165,10 @@ object Bench {
     println(jsonLine)
     // ALSO a file: the stdout line reaches the driver with an sbt "[info]"
     // prefix, which left BENCH_r01.json's parsed field null (VERDICT r1
-    // #5) — the file copy is always machine-readable
+    // #5) — the file copy is always machine-readable. cwd-relative so the
+    // bench works from any checkout, not just /root/repo.
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("/root/repo/BENCH_LATEST.json"), jsonLine + "\n")
+      java.nio.file.Paths.get("BENCH_LATEST.json").toAbsolutePath, jsonLine + "\n")
 
     // ---- BENCH.md (the BASELINE.md evidencing protocol)
     val md =
@@ -216,6 +217,6 @@ object Bench {
          ||---|---|
          |${queryTimes.map { case (k, v) => s"| $k | ${f"$v%.3f"} |" }.mkString("\n")}
          |""".stripMargin
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("/root/repo/BENCH.md"), md)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH.md").toAbsolutePath, md)
   }
 }

@@ -109,10 +109,12 @@ object TextSketch extends Serializable {
     * to a min-id representative FIRST and reported as linear
     * (rep, member) pairs at jaccard 100 — they never enter LSH; (b) a
     * bucket that still exceeds `maxBucket` rows (templated near-dups)
-    * switches from all-pairs to a streaming star against its first-seen
-    * min-id hub: memory stays O(maxBucket), output O(m), and the hub
-    * still chains the bucket into one connected component for any
-    * downstream union-find. */
+    * emits star pairs against the bucket's GLOBAL min-id hub, computed
+    * by a separate aggregate and joined back — fully distributed (no
+    * per-task bucket buffering at all) and deterministic under any
+    * partitioning, unlike a first-seen-hub stream whose hub depends on
+    * shuffle arrival order. The hub still chains the bucket into one
+    * connected component for downstream clustering. */
   def lshCandidatePairs(docs: DataFrame, minJaccardX100: Int = 50,
       maxBucket: Int = 1024): DataFrame = {
     val spark = docs.sparkSession
@@ -131,40 +133,48 @@ object TextSketch extends Serializable {
       .map { case (id, text) => (id, minhashSignature(text)) }
     val banded = sigs.flatMap { case (id, sig) =>
       bandKeys(sig).zipWithIndex.map { case (k, b) => (b, k, id, sig) }
-    }
-    val lshPairs = banded.groupByKey(t => (t._1, t._2))
-      .flatMapGroups { (_, rows) =>
-        val head = rows.take(maxBucket).map(t => (t._3, t._4)).toArray
-        if (!rows.hasNext) {
-          // normal bucket: all pairs, deterministic id order
-          val ds = head.sortBy(_._1)
+    }.toDF("band", "key", "doc_id", "sig").persist()
+    try {
+      val stats = banded.groupBy(col("band"), col("key"))
+        .agg(min(col("doc_id")).as("hub_id"), count(lit(1)).as("bucket_n"))
+      val annotated = banded.join(stats, Seq("band", "key"))
+      // normal buckets: all pairs within the bucket (bounded buffer,
+      // deterministic id order)
+      val smallPairs = annotated.filter(col("bucket_n") <= maxBucket)
+        .select(col("band"), col("key"), col("doc_id"), col("sig"))
+        .as[(Int, Long, Long, Array[Long])]
+        .groupByKey(t => (t._1, t._2))
+        .flatMapGroups { (_, rows) =>
+          val ds = rows.map(t => (t._3, t._4)).toArray.sortBy(_._1)
           for {
             i <- ds.indices.iterator
             j <- (i + 1) until ds.length
+            if ds(i)._1 != ds(j)._1 // duplicate doc_id rows: no self-pairs
           } yield (ds(i)._1, ds(j)._1, estJaccard(ds(i)._2, ds(j)._2))
-        } else {
-          // degenerate bucket: star pairs via the buffered min-id hub,
-          // then stream the tail without buffering it
-          val hubIdx = head.indices.minBy(head(_)._1)
-          val hub = head(hubIdx)
-          val buffered = head.iterator.filter(_._1 != hub._1)
-            .map(o => (math.min(hub._1, o._1), math.max(hub._1, o._1),
-              estJaccard(hub._2, o._2)))
-          val streamed = rows.map(t => (t._3, t._4))
-            .filter(_._1 != hub._1)
-            .map(o => (math.min(hub._1, o._1), math.max(hub._1, o._1),
-              estJaccard(hub._2, o._2)))
-          buffered ++ streamed
         }
-      }
-      .toDF("doc_a", "doc_b", "est_jaccard")
-    lshPairs.unionByName(exactPairs)
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(max(col("est_jaccard")).as("est_jaccard"))
-      .filter(col("est_jaccard") * 100 >= minJaccardX100)
-      .select(col("doc_a"), col("doc_b"),
-        floor(col("est_jaccard") * 100).cast("long").as("jaccard_x100"))
-      .orderBy("doc_a", "doc_b")
+        .toDF("doc_a", "doc_b", "est_jaccard")
+      // degenerate buckets: hub signature joined back; each member pairs
+      // with the global-min hub — a plain join-map, O(m) output, zero
+      // task-local state
+      val big = annotated.filter(col("bucket_n") > maxBucket)
+      val hubSigs = big.filter(col("doc_id") === col("hub_id"))
+        .select(col("band"), col("key"), col("sig").as("hub_sig"))
+      val bigPairs = big.filter(col("doc_id") =!= col("hub_id"))
+        .join(hubSigs, Seq("band", "key"))
+        .select(col("hub_id"), col("doc_id"), col("sig"), col("hub_sig"))
+        .as[(Long, Long, Array[Long], Array[Long])]
+        .map { case (hub, id, sig, hubSig) => (hub, id, estJaccard(hubSig, sig)) }
+        .toDF("doc_a", "doc_b", "est_jaccard")
+      smallPairs.unionByName(bigPairs).unionByName(exactPairs)
+        .filter(col("doc_a") =!= col("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(max(col("est_jaccard")).as("est_jaccard"))
+        .filter(col("est_jaccard") * 100 >= minJaccardX100)
+        .select(col("doc_a"), col("doc_b"),
+          floor(col("est_jaccard") * 100).cast("long").as("jaccard_x100"))
+        .orderBy("doc_a", "doc_b")
+        .localCheckpoint(true) // materialize before banded unpersists
+    } finally banded.unpersist()
   }
 
   /** Rolling-hash document fingerprints (Rabin-Karp windows, winnowed to
@@ -214,22 +224,27 @@ object TextSketch extends Serializable {
     * are vertex ids (longs) — no strings shuffle. The per-iteration
     * convergence check is an aggregated count, not a collect.
     */
-  def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 48): DataFrame = {
     val spark = pairs.sparkSession
     val edges = pairs.select(col("doc_a").cast("long").as("src"), col("doc_b").cast("long").as("dst"))
       .unionByName(pairs.select(col("doc_b").cast("long").as("src"), col("doc_a").cast("long").as("dst")))
       .distinct()
       .persist()
-    // Lineage is TRUNCATED each iteration (localCheckpoint, eager):
-    // persist alone caches data but the LOGICAL plan still contains the
-    // previous iteration's tree, so an iterative self-join doubles the
-    // plan per hop — by ~15 hops the plan string alone OOMs the driver
-    // (observed: AdaptiveSparkPlanExec.onUpdatePlan -> explainString ->
-    // heap). At 10^12-row scale swap localCheckpoint for a reliable
-    // checkpoint dir; the shape is otherwise identical.
+    // Iteration bookkeeping rules (each learned the hard way):
+    //  - the logical plan of an iterative self-join DOUBLES per hop, and
+    //    by ~15 hops the plan STRING alone OOMs the driver (observed:
+    //    AdaptiveSparkPlanExec.onUpdatePlan -> explainString -> heap), so
+    //    lineage is truncated with an eager localCheckpoint every 4th
+    //    iteration (plan stays <= ~16 nodes between truncations);
+    //  - intermediate iterations persist + unpersist-previous so executor
+    //    storage holds O(1) label sets, not O(iterations) — checkpointed
+    //    generations stay pinned, hence the every-4 compromise. At
+    //    10^12-row scale swap localCheckpoint for a reliable checkpoint
+    //    dir; the shape is otherwise identical.
     var cur = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("label"))
       .localCheckpoint(true)
+    var prevPersisted: DataFrame = null
     var iter = 0
     var converged = false
     while (!converged && iter < maxIters) {
@@ -237,15 +252,25 @@ object TextSketch extends Serializable {
       val viaNeighbor = edges.join(cur.select(col("id").as("src"), col("label")), Seq("src"))
         .groupBy(col("dst").as("id"))
         .agg(min(col("label")).as("nbr_label"))
-      val next = cur.join(viaNeighbor, Seq("id"), "left")
+      val nextRaw = cur.join(viaNeighbor, Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"),
           (col("nbr_label").isNotNull && col("nbr_label") < col("label")).as("changed"))
-        .localCheckpoint(true) // materializes AND truncates the plan
-      val nChanged = next.filter(col("changed")).count()
+      val truncate = iter % 4 == 3
+      val next = if (truncate) nextRaw.localCheckpoint(true) else nextRaw.persist()
+      val nChanged = next.filter(col("changed")).count() // materializes next
+      if (prevPersisted != null) { prevPersisted.unpersist(); prevPersisted = null }
+      if (!truncate) prevPersisted = next
       cur = next.select(col("id"), col("label"))
       converged = nChanged == 0
       iter += 1
+    }
+    if (!converged) {
+      // a component with diameter > maxIters would otherwise be SILENTLY
+      // split into several labels — surface it loudly
+      System.err.println(s"[graft] connectedComponents: NOT converged after " +
+        s"$maxIters iterations — labels may split long-diameter components; " +
+        "raise maxIters for chain-shaped graphs")
     }
     edges.unpersist()
     cur

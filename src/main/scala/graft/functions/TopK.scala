@@ -28,8 +28,14 @@ final case class Scored(id: Long, score: Double)
   */
 class TopKAgg(k: Int) extends Aggregator[QueryScored, Array[Scored], Array[Scored]] {
 
-  private def better(a: Scored, b: Scored): Boolean =
-    a.score > b.score || (a.score == b.score && a.id < b.id)
+  /** Total order matching Spark's descending sort exactly, INCLUDING
+    * NaN (Spark orders NaN above every other double, so NaN ranks first
+    * in desc order; naive `>` would instead silently drop NaN rows and
+    * diverge from the row_number baseline). */
+  private def better(a: Scored, b: Scored): Boolean = {
+    val c = java.lang.Double.compare(a.score, b.score)
+    c > 0 || (c == 0 && a.id < b.id)
+  }
 
   /** Insert into a best-first sorted buffer capped at k. */
   private def insert(buf: Array[Scored], s: Scored): Array[Scored] = {
@@ -63,6 +69,11 @@ object TopK {
     import spark.implicits._
     scored.select(col("query_id").cast("long").as("query_id"),
         col("id").cast("long").as("id"), col("score").cast("double").as("score"))
+      // SQL-computed scores can be NULL (e.g. 0/0 cosine of a zero
+      // vector); a null in the non-nullable Double field would crash the
+      // encoder, and the window baseline would rank such rows last —
+      // dropping them is the conservative common behavior
+      .filter(col("score").isNotNull)
       .as[QueryScored]
       .groupByKey(_.query_id)
       .agg(new TopKAgg(k).toColumn.name("top"))

@@ -353,8 +353,12 @@ object SynthCorpus {
             // row-major generator order); the expectation is constructed
             // here independently of the parser — reading order is the
             // full left column then the full right column
-            val left = (0 until 3 + r.nextInt(8)).map(_ => pdfLine())
-            val right = (0 until 3 + r.nextInt(8)).map(_ => pdfLine())
+            // column lines are clipped to realistic column width (the
+            // parser's crossing-the-gutter veto rejects splits whose
+            // "left column" lines would overrun the right column's x)
+            def colLine(): String = pdfLine().split(' ').take(4).mkString(" ")
+            val left = (0 until 3 + r.nextInt(8)).map(_ => colLine())
+            val right = (0 until 3 + r.nextInt(8)).map(_ => colLine())
             (PdfWriter.makeTwoColumn(left, right), (left ++ right).mkString("\n"))
           } else {
             val lines = (0 until 5 + r.nextInt(26)).map(_ => pdfLine())

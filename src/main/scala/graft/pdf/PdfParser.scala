@@ -45,11 +45,26 @@ object PdfParser {
     lines.mkString("\n")
   }
 
+  /** Conservative per-character width estimate used by the
+    * crossing-the-gutter test (12pt Helvetica averages ~6.6pt/glyph;
+    * 4pt underestimates so only clearly-too-wide lines veto a split). */
+  final val MinCharWidthPts = 4.0
+  /** A side must hold at least this fraction of the page's lines to be a
+    * column (sparse clusters — centered headings, pull quotes — are
+    * offset block elements, not columns). */
+  final val MinColumnFraction = 0.25
+
   /** Column-aware reading order for one page (content stream). Splits
     * recursively at the largest x-start gap when it looks like a gutter;
     * inside a column, lines read top-down (y desc; stable, so equal-y
     * lines keep document order). A page with no detectable gutter is
-    * returned in document order untouched. */
+    * returned in document order untouched.
+    *
+    * Two false-split vetoes protect single-column pages: a "column" that
+    * holds under a quarter of the lines is an offset block element
+    * (centered heading) not a column, and a left-side line whose
+    * conservative width estimate crosses into the right side's x-start
+    * proves the gap is not a gutter. */
   private[graft] def orderColumns(ls: Seq[PdfLine]): Seq[PdfLine] = {
     def splitCols(c: Seq[PdfLine]): Seq[Seq[PdfLine]] = {
       if (c.length < 6) return Seq(c)
@@ -66,6 +81,11 @@ object PdfParser {
       if (bestGap < MinGutterPts) return Seq(c)
       val (left, right) = c.partition(_.x < split)
       if (left.length < 3 || right.length < 3) return Seq(c)
+      val minFrac = math.max(3, (c.length * MinColumnFraction).toInt)
+      if (left.length < minFrac || right.length < minFrac) return Seq(c)
+      val rightMinX = right.map(_.x).min
+      if (left.exists(l => l.x + l.text.length * MinCharWidthPts > rightMinX))
+        return Seq(c)
       splitCols(left) ++ splitCols(right)
     }
     val cols = splitCols(ls)
@@ -183,6 +203,10 @@ object PdfParser {
         val start = i
         i += 1
         while (i < n && ((s.charAt(i) >= '0' && s.charAt(i) <= '9') || s.charAt(i) == '.')) i += 1
+        // positioning ops read at most the last 6 operands, so the stack
+        // is capped: a hostile stream of bare numbers would otherwise
+        // grow this buffer without bound (numbers were O(1) pre-tracking)
+        if (nums.length >= 8) nums.remove(0)
         try nums += s.substring(start, i).toDouble
         catch { case _: NumberFormatException => () } // lone '-'/'+'/'.'
       } else if (isOpChar(c)) {

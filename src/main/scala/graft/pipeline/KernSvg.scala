@@ -31,13 +31,16 @@ object KernSvg {
   private def letterIdx(c: Char): Int = "cdefgab".indexOf(c.toLower)
 
   /** Diatonic index of the token's pitch (c4 = 28 → bottom-line E4 = 30);
-    * None for rests/unpitched. */
+    * None for rests/unpitched. The octave run is clamped to the musical
+    * range (hostile tokens with huge letter runs would otherwise push the
+    * note millions of points off-staff and the ledger-line loops would
+    * emit one element per gap — unbounded output from bounded input). */
   private[graft] def pitchIndex(tok: String): Option[Int] = {
     if (tok.contains('r')) return None
     val letters = tok.filter(c => letterIdx(c) >= 0)
     if (letters.isEmpty) return None
     val c = letters.head
-    val run = letters.takeWhile(_ == c).length
+    val run = math.min(letters.takeWhile(_ == c).length, 4)
     val li = letterIdx(c)
     val octave = if (c.isLower) 3 + run else 4 - run // kern octave spelling
     Some(octave * 7 + li)

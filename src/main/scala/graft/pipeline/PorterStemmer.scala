@@ -11,6 +11,23 @@ package graft.pipeline
   */
 object PorterStemmer {
 
+  // rule tables pre-sorted longest-suffix-first ONCE (stem() runs per
+  // token in the METEOR alignment hot path; sorting constants per call
+  // was measurable waste)
+  private val Step2Rules: Seq[(String, String)] = Seq(
+    "ational" -> "ate", "tional" -> "tion", "enci" -> "ence", "anci" -> "ance",
+    "izer" -> "ize", "abli" -> "able", "alli" -> "al", "entli" -> "ent",
+    "eli" -> "e", "ousli" -> "ous", "ization" -> "ize", "ation" -> "ate",
+    "ator" -> "ate", "alism" -> "al", "iveness" -> "ive", "fulness" -> "ful",
+    "ousness" -> "ous", "aliti" -> "al", "iviti" -> "ive", "biliti" -> "ble")
+    .sortBy(-_._1.length)
+  private val Step3Rules: Seq[(String, String)] = Seq(
+    "icate" -> "ic", "ative" -> "", "alize" -> "al", "iciti" -> "ic",
+    "ical" -> "ic", "ful" -> "", "ness" -> "").sortBy(-_._1.length)
+  private val Step4Rules: Seq[(String, String)] = Seq("al", "ance", "ence",
+    "er", "ic", "able", "ible", "ant", "ement", "ment", "ent", "ou", "ism",
+    "ate", "iti", "ous", "ive", "ize").map(_ -> "").sortBy(-_._1.length)
+
   def stem(word: String): String = {
     if (word.length <= 2) return word.toLowerCase
     val b = word.toLowerCase.toCharArray
@@ -81,34 +98,24 @@ object PorterStemmer {
     // Porter's rule-selection contract: within a step, the LONGEST
     // matching suffix is selected first and only then is its condition
     // tested; a failed condition ends the step (no fall-through to a
-    // shorter suffix).
+    // shorter suffix). Rule tables are pre-sorted at object init.
     def applyStep(rules: Seq[(String, String)], minM: Int): Unit = {
-      rules.sortBy(-_._1.length).find { case (s, _) => endsWith(s) }.foreach {
+      rules.find { case (s, _) => endsWith(s) }.foreach {
         case (s, r) => if (measure(end - s.length) > minM - 1) setTo(s.length, r)
       }
     }
 
     // ---- step 2 (m > 0 over the stem before the suffix)
-    applyStep(Seq(
-      "ational" -> "ate", "tional" -> "tion", "enci" -> "ence", "anci" -> "ance",
-      "izer" -> "ize", "abli" -> "able", "alli" -> "al", "entli" -> "ent",
-      "eli" -> "e", "ousli" -> "ous", "ization" -> "ize", "ation" -> "ate",
-      "ator" -> "ate", "alism" -> "al", "iveness" -> "ive", "fulness" -> "ful",
-      "ousness" -> "ous", "aliti" -> "al", "iviti" -> "ive", "biliti" -> "ble"),
-      minM = 1)
+    applyStep(Step2Rules, minM = 1)
 
     // ---- step 3
-    applyStep(Seq(
-      "icate" -> "ic", "ative" -> "", "alize" -> "al", "iciti" -> "ic",
-      "ical" -> "ic", "ful" -> "", "ness" -> ""), minM = 1)
+    applyStep(Step3Rules, minM = 1)
 
     // ---- step 4 (m > 1; "ion" additionally requires *S or *T before it)
     if (endsWith("ion")) {
       if (measure(end - 3) > 1 && end >= 4 && (b(end - 4) == 's' || b(end - 4) == 't'))
         setTo(3, "")
-    } else applyStep(Seq("al", "ance", "ence", "er", "ic", "able", "ible",
-      "ant", "ement", "ment", "ent", "ou", "ism", "ate", "iti", "ous",
-      "ive", "ize").map(_ -> ""), minM = 2)
+    } else applyStep(Step4Rules, minM = 2)
 
     // ---- step 5a
     if (endsWith("e")) {

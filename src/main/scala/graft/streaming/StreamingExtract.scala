@@ -88,9 +88,17 @@ object StreamingExtract {
             sorted.foreach { e =>
               val t = e.ts.getTime
               cur match {
+                // cross-batch LATE events (t before the open session):
+                // within gap of the session start -> extend it backwards;
+                // earlier than that -> a disjoint earlier session that
+                // can only ever hold this event now, emit it immediately
+                // (naive `t - endMs <= gap` silently swallowed all late
+                // arrivals into the wrong session)
+                case Some(s) if t < s.startMs - gapMs =>
+                  closed += HostSession(host, t, t, 1L, e.bytes)
                 case Some(s) if t - s.endMs <= gapMs =>
-                  cur = Some(SessionState(s.startMs, math.max(s.endMs, t),
-                    s.nPages + 1, s.bytes + e.bytes))
+                  cur = Some(SessionState(math.min(s.startMs, t),
+                    math.max(s.endMs, t), s.nPages + 1, s.bytes + e.bytes))
                 case Some(s) =>
                   closed += HostSession(host, s.startMs, s.endMs, s.nPages, s.bytes)
                   cur = Some(SessionState(t, t, 1L, e.bytes))

@@ -69,13 +69,35 @@ class ScaleGuardSpec extends AnyFunSuite {
     val docs = (0 until 500).map(i => (i.toLong, s"$base unique$i")).toDF("doc_id", "text")
     val pairs = TextSketch.lshCandidatePairs(docs, minJaccardX100 = 50, maxBucket = 16)
       .collect()
-    // all-pairs would be 124750; star through a hub is <= n-1 per
-    // band-bucket (8 bands, hub = min id of the buffered head, so at most
-    // a handful of hubs across bands)
+    // all-pairs would be 124750; the star through each bucket's
+    // global-min hub is <= n-1 per band-bucket
     assert(pairs.nonEmpty)
     assert(pairs.length <= 8 * 499)
-    val hubs = pairs.map(_.getLong(0)).toSet ++ pairs.map(_.getLong(1)).toSet
-    assert(hubs.size <= 500)
+    // hub = GLOBAL min of each bucket -> with these docs every bucket
+    // contains doc 0, so every pair hangs off it
+    assert(pairs.forall(_.getLong(0) == 0L))
+  }
+
+  test("LSH oversized-bucket output is invariant to input partitioning") {
+    import spark.implicits._
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val rows = (0 until 300).map(i => (i.toLong, s"$base tail$i"))
+    val a = TextSketch.lshCandidatePairs(rows.toDF("doc_id", "text").repartition(1),
+      minJaccardX100 = 50, maxBucket = 16).collect().map(_.toString).sorted.toSeq
+    val b = TextSketch.lshCandidatePairs(rows.toDF("doc_id", "text").repartition(13),
+      minJaccardX100 = 50, maxBucket = 16).collect().map(_.toString).sorted.toSeq
+    assert(a.nonEmpty && a == b)
+  }
+
+  test("TopK tolerates NULL and NaN scores (no encoder crash, Spark NaN order)") {
+    import spark.implicits._
+    val df = Seq[(Long, Long, java.lang.Double)](
+      (1L, 10L, 5.0), (1L, 11L, null), (1L, 12L, Double.NaN), (1L, 13L, 7.0))
+      .toDF("query_id", "id", "score")
+    val got = TopK.perQuery(df, 3).collect()
+      .map(r => (r.getLong(1), r.getLong(2))) // (rank, id)
+    // null dropped; NaN ranks FIRST (Spark sorts NaN above all doubles)
+    assert(got.toSeq == Seq((1L, 12L), (2L, 13L), (3L, 10L)), got.toSeq)
   }
 
   test("LSH guard leaves small-bucket results identical to the unguarded shape") {

@@ -76,5 +76,39 @@ class SessionizationSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("cross-batch LATE events: backwards extension within gap, disjoint emit beyond") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[PageEvent]
+    val q = StreamingExtract.crawlSessions(input.toDS(), gapMinutes = 60)
+      .writeStream.format("memory").queryName("sessions_t3")
+      .outputMode("append").start()
+    try {
+      // batch 1 opens a session at 12:00
+      input.addData(ev("d.example.com", "2024-03-01 12:00:00"))
+      q.processAllAvailable()
+      // batch 2: a late 11:30 event (within gap of session START) must
+      // extend the open session BACKWARDS, and a late 02:00 event
+      // (disjoint, > gap earlier) must emit as its own 1-page session —
+      // not get swallowed into the noon session
+      input.addData(
+        ev("d.example.com", "2024-03-01 11:30:00", bytes = 7L),
+        ev("d.example.com", "2024-03-01 02:00:00", bytes = 3L))
+      q.processAllAvailable()
+      val emitted = spark.table("sessions_t3").as[HostSession].collect().toSet
+      assert(emitted == Set(HostSession("d.example.com",
+        ts("2024-03-01 02:00:00"), ts("2024-03-01 02:00:00"), 1L, 3L)), emitted)
+      // flush the open session via watermark advance: it must span
+      // 11:30-12:00 with both pages
+      input.addData(ev("e.example.com", "2024-03-05 00:00:00"))
+      q.processAllAvailable()
+      input.addData(ev("e.example.com", "2024-03-05 00:01:00"))
+      q.processAllAvailable()
+      val all = spark.table("sessions_t3").as[HostSession].collect().toSet
+      assert(all.contains(HostSession("d.example.com",
+        ts("2024-03-01 11:30:00"), ts("2024-03-01 12:00:00"), 2L, 107L)), all)
+    } finally q.stop()
+  }
+
   private def ts(s: String): Long = java.sql.Timestamp.valueOf(s).getTime
 }

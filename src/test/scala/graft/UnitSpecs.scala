@@ -247,6 +247,10 @@ class RenderSpec extends AnyFunSuite {
     // determinism + never-throw on hostile notation
     assert(svg == KernSvg.toSvg("**kern\n4c\n4r\n=\n1e\n*-"))
     KernSvg.toSvg("garbage \u0000 ###---rrr 999x")
+    // bounded output on hostile pitch runs: a 100k-letter run must not
+    // explode into megabytes of ledger lines (octave run clamps at 4)
+    val hostile = KernSvg.toSvg("**kern\n4" + ("c" * 100000) + "\n*-")
+    assert(hostile.length < 10000, s"svg blew up: ${hostile.length} chars")
   }
 
   test("unwrapInternVl: reference marker split, lenient when absent") {
