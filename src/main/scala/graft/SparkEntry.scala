@@ -531,6 +531,16 @@ object SparkEntry {
       graft.functions.TextSketch.annTopK(t(s, dir, "embeddings"))),
     "x15_ann_ivf" -> ((s, dir) =>
       graft.functions.TextSketch.ivfTopK(t(s, dir, "embeddings"))),
+    "x21_ann_ivf_index" -> ((s, dir) => {
+      // the persisted form of the IVF scale path: index written once as a
+      // cell-partitioned table, queries scan ONLY their probed cell
+      // partitions (Catalyst partition pruning)
+      val emb = t(s, dir, "embeddings")
+      val idx = s"$SynthRoot/ivf_index_${math.abs(dir.hashCode)}"
+      if (!new java.io.File(s"$idx/cells/_SUCCESS").exists())
+        graft.functions.IvfIndex.build(emb, idx)
+      graft.functions.IvfIndex.query(s, idx, emb.filter(col("vec_id") < 5))
+    }),
     "x11_multimodal_features" -> ((s, _) =>
       graft.functions.Multimodal.featureStats(s, 2000L)),
     "x12_streaming_extract" -> ((s, _) => {

@@ -1,0 +1,95 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted IVF (inverted-file) ANN index — the production form of
+  * TextSketch.ivfTopK's scale path: the index is BUILT ONCE (k-means
+  * cells, every vector written under its cell as a partitioned parquet
+  * table) and queries touch only their probed cells via partition
+  * pruning — at 10^9 vectors a query scans nProbe/nCells of the data,
+  * driven entirely by Catalyst's partition elimination, no custom reader.
+  *
+  * Layout under `dir`:
+  *   centroids/  (cell INT, centroid ARRAY<DOUBLE>)   — K rows, tiny
+  *   cells/cell=<i>/...parquet (vec_id LONG, embedding ARRAY<FLOAT>)
+  */
+object IvfIndex {
+
+  /** Fit centroids (deterministic quantized Lloyd, identical to
+    * ivfTopK's) and write the partitioned index. */
+  def build(emb: DataFrame, dir: String, nCells: Int = 16, iters: Int = 2): Unit = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val vecs = emb.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])]
+    var centroids: Array[Array[Double]] = vecs.filter(_._1 < nCells)
+      .collect().sortBy(_._1).map(_._2.map(_.toDouble))
+    def nearest(cs: Array[Array[Double]], v: Array[Float]): Int = {
+      var best = 0; var bestCos = -2.0
+      var c = 0
+      while (c < cs.length) {
+        val cos = TextSketch.cosineD(cs(c), v)
+        if (cos > bestCos) { bestCos = cos; best = c }
+        c += 1
+      }
+      best
+    }
+    val Q = 1e6 // fixed-point sums: order-independent means (see ivfTopK)
+    (1 to iters).foreach { _ =>
+      val cs = centroids
+      val means = vecs
+        .map { case (_, v) => (nearest(cs, v), (v.map(x => math.round(x.toDouble * Q)), 1L)) }
+        .groupByKey(_._1)
+        .reduceGroups { (a, b) =>
+          val s = a._2._1.clone()
+          var i = 0; while (i < s.length) { s(i) += b._2._1(i); i += 1 }
+          (a._1, (s, a._2._2 + b._2._2))
+        }
+        .map { case (cell, (_, (sum, n))) => (cell, sum.map(x => x.toDouble / (n * Q))) }
+        .collect().toMap
+      centroids = centroids.indices.map(c => means.getOrElse(c, centroids(c))).toArray
+    }
+    val cs = centroids
+    cs.zipWithIndex.map { case (v, c) => (c, v) }.toSeq
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+    vecs.map { case (id, v) => (nearest(cs, v), id, v) }
+      .toDF("cell", "vec_id", "embedding")
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/cells")
+  }
+
+  /** Query the persisted index: probe each query's nProbe nearest cells;
+    * the `cell isin (...)` filter prunes unprobed partitions at the scan
+    * (visible as PartitionFilters in the plan). Returns
+    * (query_id, rank, neighbor_id, cos_x10000). */
+  def query(spark: SparkSession, dir: String, queries: DataFrame,
+      k: Int = 5, nProbe: Int = 4): DataFrame = {
+    import spark.implicits._
+    val cs = spark.read.parquet(s"$dir/centroids")
+      .as[(Int, Array[Double])].collect().sortBy(_._1).map(_._2)
+    val q = queries.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .flatMap { case (id, v) =>
+        cs.indices.sortBy(c => -TextSketch.cosineD(cs(c), v)).take(nProbe)
+          .map(c => (c, id, v))
+      }
+      .toDF("cell", "query_id", "qv")
+    val probedCells = q.select(col("cell")).distinct().as[Int].collect().toSeq
+    // partition pruning: only the probed cell directories are scanned
+    val cells = spark.read.parquet(s"$dir/cells")
+      .filter(col("cell").isin(probedCells: _*))
+    val scored = cells.join(broadcast(q), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("qv"), col("embedding"))
+      .as[(Long, Long, Array[Float], Array[Float])]
+      .map { case (qid, vid, qv, v) => (qid, vid, TextSketch.cosine(qv, v)) }
+      .toDF("query_id", "id", "score")
+      .groupBy(col("query_id"), col("id"))
+      .agg(max(col("score")).as("score"))
+    TopK.perQuery(scored, k)
+      .select(col("query_id"), col("rank"), col("id").as("neighbor_id"),
+        floor(col("score") * 10000).cast("long").as("cos_x10000"))
+      .orderBy("query_id", "rank")
+  }
+}

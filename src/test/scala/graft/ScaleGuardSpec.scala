@@ -173,6 +173,25 @@ class ScaleGuardSpec extends AnyFunSuite {
     assert(plan.contains("ReadSchema: struct<text:string>"), plan)
   }
 
+  test("persisted IVF index: identical results to in-session IVF, pruned scan") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("ivf_idx").toString
+    graft.functions.IvfIndex.build(emb, dir)
+    val fromIndex = graft.functions.IvfIndex.query(spark, dir,
+      emb.filter(org.apache.spark.sql.functions.col("vec_id") < 5)).collect()
+      .map(_.toString).toSeq
+    // same centroid fit (deterministic quantized Lloyd), same probes,
+    // same scoring -> byte-identical to the in-session operator
+    val inSession = TextSketch.ivfTopK(emb).collect().map(_.toString).toSeq
+    assert(fromIndex == inSession)
+    // partition pruning reaches the scan: the cells read are bounded by
+    // the probed set, visible as PartitionFilters on `cell`
+    val q = emb.filter(org.apache.spark.sql.functions.col("vec_id") < 5)
+    val plan = graft.functions.IvfIndex.query(spark, dir, q)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cell#") || plan.contains("cell IN"), plan)
+  }
+
   test("WARC: one malformed record mid-file loses only itself") {
     val good1 = Warc.write(Seq(Warc.Record("https://one.example.com/", "2024-01-01T00:00:00Z",
       "text/html", "<p>first valid record body</p>".getBytes(UTF_8))))
