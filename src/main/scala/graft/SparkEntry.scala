@@ -537,7 +537,7 @@ object SparkEntry {
       // partitions (Catalyst partition pruning)
       val emb = t(s, dir, "embeddings")
       val idx = s"$SynthRoot/ivf_index_${math.abs(dir.hashCode)}"
-      if (!new java.io.File(s"$idx/cells/_SUCCESS").exists())
+      if (!graft.functions.IvfIndex.isCurrent(s, idx, emb))
         graft.functions.IvfIndex.build(emb, idx)
       graft.functions.IvfIndex.query(s, idx, emb.filter(col("vec_id") < 5))
     }),

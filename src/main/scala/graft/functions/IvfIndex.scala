@@ -57,6 +57,22 @@ object IvfIndex {
     vecs.map { case (id, v) => (nearest(cs, v), id, v) }
       .toDF("cell", "vec_id", "embedding")
       .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/cells")
+    // staleness manifest: reuse decisions compare this against the
+    // current input (an index dir surviving an in-place input change
+    // would otherwise serve stale neighbors silently)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/MANIFEST"),
+      s"""{"rows":${emb.count()},"nCells":$nCells}""")
+  }
+
+  /** True when a usable index exists at `dir` AND its manifest matches
+    * the given input (row count + cell count). */
+  def isCurrent(spark: SparkSession, dir: String, emb: DataFrame,
+      nCells: Int = 16): Boolean = {
+    val m = java.nio.file.Paths.get(s"$dir/MANIFEST")
+    java.nio.file.Files.exists(m) && {
+      val txt = java.nio.file.Files.readString(m)
+      txt == s"""{"rows":${emb.count()},"nCells":$nCells}"""
+    }
   }
 
   /** Query the persisted index: probe each query's nProbe nearest cells;

@@ -163,11 +163,15 @@ object Dom {
             }
             tableDepth += 1
           } else if (tableDepth > 0) {
+            // row/cell structure is tracked at depth 1 only: a NESTED
+            // table's td/tr must not clear the outer row or cell —
+            // its text folds into the enclosing cell (layout-table
+            // nesting is ubiquitous in real crawl HTML)
             name match {
-              case "td" | "th" => inCell = true; tblCell.clear()
-              case "tr"        => tblRow.clear()
-              case "br"        => if (inCell) tblCell.append(' ')
-              case _           => ()
+              case "td" | "th" if tableDepth == 1 => inCell = true; tblCell.clear()
+              case "tr" if tableDepth == 1        => tblRow.clear()
+              case "br"                           => if (inCell) tblCell.append(' ')
+              case _                              => ()
             }
           } else if (name == "br") {
             curText.append(BrSentinel)
@@ -203,9 +207,9 @@ object Dom {
             }
           } else if (tableDepth > 0) {
             name match {
-              case "td" | "th" =>
+              case "td" | "th" if tableDepth == 1 =>
                 if (inCell) { tblRow += Dom.normalize(tblCell); inCell = false }
-              case "tr" =>
+              case "tr" if tableDepth == 1 =>
                 if (tblRow.nonEmpty) { tblRows += tblRow.toVector; tblRow.clear() }
               case _ => ()
             }

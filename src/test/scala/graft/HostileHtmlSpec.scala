@@ -119,6 +119,30 @@ class HostileHtmlSpec extends AnyFunSuite {
       == "Upper case tags work")
   }
 
+  test("nested tables: inner cells fold into the outer table's cell text") {
+    // tableDepth tracks nesting; inner <table> rows do not open a second
+    // table block — their cell text accumulates into the enclosing cell
+    assert(plain("<table><tr><td>outer a</td><td><table><tr><td>inner</td></tr></table></td></tr></table>")
+      == "outer a inner")
+  }
+
+  test("empty and valueless attributes parse; block survives") {
+    assert(plain("<p class= id data-x title=\"\">attribute edge cases text</p>")
+      == "attribute edge cases text")
+  }
+
+  test("unterminated tag at EOF consumes to end, prior text kept") {
+    // '<a href=' with no closing '>' swallows the rest of the input as
+    // attribute soup; the flushed p-block before it survives
+    assert(plain("<p>kept paragraph text</p><a href=") == "kept paragraph text")
+  }
+
+  test("hr and void elements do not break block accumulation") {
+    // double <br> is a paragraph break: two hard newlines survive
+    assert(plain("<p>before<br><br>after</p><hr><p>second paragraph</p>")
+      == "before\n\nafter\nsecond paragraph")
+  }
+
   test("spans on hostile inputs stay within payload and ascend") {
     val cases = Seq(
       "<p>alpha beta<h2>Heading words",
