@@ -14,6 +14,11 @@ libraryDependencies ++= Seq(
 scalacOptions ++= Seq("-encoding", "utf8")
 Test / fork := true
 run / fork := true
+// Forked `run` output passes straight through to this process's
+// stdout/stderr with NO sbt "[info] " log prefix — the bench harness
+// prints one machine-readable JSON line that a caller parses from the
+// run tail, and the logger prefix broke that parse two rounds running.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -15,6 +15,9 @@ object DiagSkew {
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     import s.implicits._
+    if (!IceLite.exists(s, s"$benchRoot/pages"))
+      IceLite.commit(s, s"$benchRoot/pages", graft.gen.SynthCorpus.pages(s,
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "2000000").toLong).toDF())
     val pages = IceLite.read(s, s"$benchRoot/pages")
     val stats = pages.select("url", "html").as[(String, Array[Byte])]
       .mapPartitions { it =>

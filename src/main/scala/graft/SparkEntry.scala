@@ -491,7 +491,10 @@ object SparkEntry {
         .orderBy("band")
     }),
     "x08_minhash_lsh_pairs" -> ((s, dir) => {
+      // the operator returns UNORDERED pairs (no global sort at scale);
+      // the deterministic ordering for the verify sink is applied HERE
       graft.functions.TextSketch.lshCandidatePairs(t(s, dir, "documents"))
+        .orderBy("doc_a", "doc_b")
     }),
     "x19_dedup_clusters" -> ((s, dir) => {
       // dedup END-TO-END: candidate pairs (MinHash-LSH + exact collapse)
@@ -558,10 +561,13 @@ object SparkEntry {
       // custom-state streaming (flatMapGroupsWithState + event-time
       // timeout): per-host crawl sessionization with a 7-day gap over the
       // micro corpus. availableNow drains the corpus in one batch, so the
-      // emitted rows are the sessions CLOSED by in-data gaps; each host's
-      // trailing session stays in state (it would flush on the next
-      // incremental run's watermark) — exactly the streaming-resume
-      // semantics the engine's lineage table gives the batch path.
+      // STREAM emits only sessions CLOSED by in-data gaps; each host's
+      // trailing session stays in state. The state store is then read
+      // back (state data source) and published as the OPEN side, so
+      // closed + open accounts for EVERY input page — the reference's
+      // eval loop accounts every document (eval_GOT_ocr.py:168-300), and
+      // a crawl-ops user reconciling page sums against row counts needs
+      // both halves.
       val (pagesDir, _) = microTables(s)
       val run = s"$SynthRoot/sessions_${java.util.UUID.randomUUID().toString.take(8)}"
       val events = graft.streaming.StreamingExtract.sessionEvents(
@@ -574,11 +580,25 @@ object SparkEntry {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      s.read.parquet(s"$run/out")
+      val closed = s.read.schema("host STRING, start_ms LONG, end_ms LONG, n_pages LONG, bytes LONG")
+        .parquet(s"$run/out")
         .groupBy(col("host"))
         .agg(count(lit(1)).as("n_sessions"),
           sum(col("n_pages")).as("pages_in_closed"),
           sum(col("bytes")).as("bytes_in_closed"))
+      val open = graft.streaming.StreamingExtract.openSessions(s, s"$run/ckpt")
+        .groupBy(col("host"))
+        .agg(count(lit(1)).as("n_open"),
+          sum(col("n_pages")).as("pages_in_open"),
+          sum(col("bytes")).as("bytes_in_open"))
+      closed.join(open, Seq("host"), "full_outer")
+        .select(col("host"),
+          coalesce(col("n_sessions"), lit(0L)).as("n_sessions"),
+          coalesce(col("pages_in_closed"), lit(0L)).as("pages_in_closed"),
+          coalesce(col("bytes_in_closed"), lit(0L)).as("bytes_in_closed"),
+          coalesce(col("n_open"), lit(0L)).as("n_open"),
+          coalesce(col("pages_in_open"), lit(0L)).as("pages_in_open"),
+          coalesce(col("bytes_in_open"), lit(0L)).as("bytes_in_open"))
         .orderBy("host")
     }),
     "x16_warc_ingest" -> ((s, _) => {

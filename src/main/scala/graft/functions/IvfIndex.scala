@@ -16,6 +16,34 @@ import org.apache.spark.sql.functions._
   */
 object IvfIndex {
 
+  /** Order-independent content fingerprint of the embeddings input:
+    * bit-XOR of xxhash64(vec_id, embedding) over all rows. Cheap (one
+    * map + one agg), partitioning-invariant, and any in-place content
+    * change — re-embedding, id remap — flips it even when the row count
+    * is preserved (the failure mode a count-only manifest waves through).
+    * XOR lets PAIRS of identical duplicate rows cancel; acceptable for a
+    * staleness check (vec_id participates, so ids are never identical). */
+  def contentFingerprint(emb: DataFrame): Long =
+    emb.select(xxhash64(col("vec_id"), col("embedding")).as("h"))
+      .agg(expr("bit_xor(h)")).head().getLong(0)
+
+  private def manifestJson(rows: Long, fp: Long, nCells: Int, iters: Int): String =
+    s"""{"rows":$rows,"fingerprint":$fp,"nCells":$nCells,"iters":$iters}"""
+
+  /** Deterministic centroid seeds: the nCells lowest vec_ids — WITHOUT
+    * assuming ids are dense from 0 (an id space starting above nCells
+    * would otherwise yield an empty seed set and a silently degenerate
+    * index). Fails loudly below 2 seeds. */
+  private[functions] def seedCentroids(vecs: org.apache.spark.sql.Dataset[(Long, Array[Float])],
+      nCells: Int): Array[Array[Double]] = {
+    val idCol = vecs.columns.head // "vec_id" or "_1" depending on caller
+    val seeds = vecs.orderBy(col(idCol)).limit(nCells)
+      .collect().sortBy(_._1).map(_._2.map(_.toDouble))
+    require(seeds.length >= 2,
+      s"IVF needs >= 2 seed vectors, got ${seeds.length} — input empty or near-empty")
+    seeds
+  }
+
   /** Fit centroids (deterministic quantized Lloyd, identical to
     * ivfTopK's) and write the partitioned index. */
   def build(emb: DataFrame, dir: String, nCells: Int = 16, iters: Int = 2): Unit = {
@@ -23,8 +51,7 @@ object IvfIndex {
     import spark.implicits._
     val vecs = emb.select(col("vec_id").cast("long"), col("embedding"))
       .as[(Long, Array[Float])]
-    var centroids: Array[Array[Double]] = vecs.filter(_._1 < nCells)
-      .collect().sortBy(_._1).map(_._2.map(_.toDouble))
+    var centroids: Array[Array[Double]] = seedCentroids(vecs, nCells)
     def nearest(cs: Array[Array[Double]], v: Array[Float]): Int = {
       var best = 0; var bestCos = -2.0
       var c = 0
@@ -58,20 +85,21 @@ object IvfIndex {
       .toDF("cell", "vec_id", "embedding")
       .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/cells")
     // staleness manifest: reuse decisions compare this against the
-    // current input (an index dir surviving an in-place input change
-    // would otherwise serve stale neighbors silently)
+    // current input — row count AND content fingerprint AND the build
+    // params that shape the index (an index dir surviving an in-place
+    // input change would otherwise serve stale neighbors silently)
     java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/MANIFEST"),
-      s"""{"rows":${emb.count()},"nCells":$nCells}""")
+      manifestJson(emb.count(), contentFingerprint(emb), nCells, iters))
   }
 
   /** True when a usable index exists at `dir` AND its manifest matches
-    * the given input (row count + cell count). */
+    * the given input (row count + content fingerprint + build params). */
   def isCurrent(spark: SparkSession, dir: String, emb: DataFrame,
-      nCells: Int = 16): Boolean = {
+      nCells: Int = 16, iters: Int = 2): Boolean = {
     val m = java.nio.file.Paths.get(s"$dir/MANIFEST")
     java.nio.file.Files.exists(m) && {
       val txt = java.nio.file.Files.readString(m)
-      txt == s"""{"rows":${emb.count()},"nCells":$nCells}"""
+      txt == manifestJson(emb.count(), contentFingerprint(emb), nCells, iters)
     }
   }
 

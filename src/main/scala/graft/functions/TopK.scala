@@ -5,11 +5,14 @@ import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 
-/** One scored candidate row for a query. */
-final case class QueryScored(query_id: Long, id: Long, score: Double)
+/** One scored candidate row for a query. `score` is boxed/nullable:
+  * SQL-computed scores can be NULL (0/0 cosine of a zero vector) and the
+  * row_number-window baseline this aggregator replaces ranks those rows
+  * LAST (desc ⇒ nulls last) rather than dropping them. */
+final case class QueryScored(query_id: Long, id: Long, score: java.lang.Double)
 
 /** One kept neighbor. */
-final case class Scored(id: Long, score: Double)
+final case class Scored(id: Long, score: java.lang.Double)
 
 /** Bounded top-k by (score desc, id asc) as a typed Aggregator.
   *
@@ -29,12 +32,18 @@ final case class Scored(id: Long, score: Double)
 class TopKAgg(k: Int) extends Aggregator[QueryScored, Array[Scored], Array[Scored]] {
 
   /** Total order matching Spark's descending sort exactly, INCLUDING
-    * NaN (Spark orders NaN above every other double, so NaN ranks first
-    * in desc order; naive `>` would instead silently drop NaN rows and
-    * diverge from the row_number baseline). */
+    * NaN and NULL (Spark orders NaN above every other double, so NaN
+    * ranks first in desc order, and desc puts NULL last; naive `>`
+    * would instead silently drop both and diverge from the row_number
+    * baseline). */
   private def better(a: Scored, b: Scored): Boolean = {
-    val c = java.lang.Double.compare(a.score, b.score)
-    c > 0 || (c == 0 && a.id < b.id)
+    val an = a.score == null
+    val bn = b.score == null
+    if (an || bn) (bn && !an) || (an && bn && a.id < b.id)
+    else {
+      val c = java.lang.Double.compare(a.score, b.score)
+      c > 0 || (c == 0 && a.id < b.id)
+    }
   }
 
   /** Insert into a best-first sorted buffer capped at k. */
@@ -69,11 +78,6 @@ object TopK {
     import spark.implicits._
     scored.select(col("query_id").cast("long").as("query_id"),
         col("id").cast("long").as("id"), col("score").cast("double").as("score"))
-      // SQL-computed scores can be NULL (e.g. 0/0 cosine of a zero
-      // vector); a null in the non-nullable Double field would crash the
-      // encoder, and the window baseline would rank such rows last —
-      // dropping them is the conservative common behavior
-      .filter(col("score").isNotNull)
       .as[QueryScored]
       .groupByKey(_.query_id)
       .agg(new TopKAgg(k).toColumn.name("top"))

@@ -145,14 +145,21 @@ object Metrics {
     * (alpha=0.9, beta=3, gamma=0.5; eval_ocr.py:90 calls nltk
     * meteor_score): unigram alignment in ordered stages — exact match,
     * then Porter-stem match — followed by the fragmentation penalty over
-    * chunk count. The third nltk stage (WordNet synonymy) requires the
-    * WordNet database and is omitted — documented residual gap; on
+    * chunk count. Tokens are lowercased on entry (nltk meteor_score's
+    * preprocess=str.lower — without it the exact stage diverges on any
+    * case difference). The third nltk stage (WordNet synonymy) requires
+    * the WordNet database and is omitted — documented residual gap; on
     * transcription-style text synonym matches are rare, so this covers
-    * the metric's mass. chrF remains available alongside.
+    * the metric's mass. The stemmer is the 1980 Porter algorithm; nltk
+    * defaults to NLTK_EXTENSIONS mode (a handful of extra rules, e.g.
+    * dying→die), so stem-stage alignments can differ on those words —
+    * also a documented residual. chrF remains available alongside.
     */
-  def meteor(reference: Array[String], hypothesis: Array[String],
+  def meteor(refTokens: Array[String], hypTokens: Array[String],
       alpha: Double = 0.9, beta: Double = 3.0, gamma: Double = 0.5): Double = {
-    if (reference.isEmpty || hypothesis.isEmpty) return 0.0
+    if (refTokens.isEmpty || hypTokens.isEmpty) return 0.0
+    val reference = refTokens.map(_.toLowerCase(java.util.Locale.ROOT))
+    val hypothesis = hypTokens.map(_.toLowerCase(java.util.Locale.ROOT))
     val refMatched = new Array[Boolean](reference.length)
     val hypMatched = new Array[Boolean](hypothesis.length)
     val pairs = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)] // (hypIdx, refIdx)

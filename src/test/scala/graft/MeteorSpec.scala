@@ -53,6 +53,9 @@ class MeteorSpec extends AnyFunSuite {
     // disjoint -> 0; empty -> 0
     assert(Metrics.meteor(toks("x y"), toks("p q")) == 0.0)
     assert(Metrics.meteor(Array.empty[String], toks("a")) == 0.0)
+    // nltk preprocess=str.lower: case differences never break alignment
+    assert(Metrics.meteor(toks("A b C d"), toks("a B c D")) ==
+      Metrics.meteor(toks("a b c d"), toks("a b c d")))
   }
 
   test("meteor stem stage aligns inflection variants") {

@@ -37,6 +37,32 @@ class ScaleGuardSpec extends AnyFunSuite {
     assert(got.toSeq == want)
   }
 
+  test("TopK ranks NULL and NaN scores exactly like the row_number window") {
+    import spark.implicits._
+    // Spark desc order: NaN first, then finite desc, then -Inf, NULL last.
+    // r2 dropped NULL rows — a query with < k non-null candidates returned
+    // fewer rows than the window baseline.
+    val rows: Seq[(Long, Long, java.lang.Double)] = Seq(
+      (1L, 10L, 0.5), (1L, 11L, null), (1L, 12L, Double.NaN),
+      (1L, 13L, Double.NegativeInfinity), (1L, 14L, null),
+      (2L, 20L, null), (2L, 21L, null))
+    val df = rows.toDF("query_id", "id", "score").repartition(5)
+    val got = TopK.perQuery(df, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Double])))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val want = df.withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(col("score").desc, col("id"))))
+      .filter(col("rank") <= 3)
+      .select("query_id", "rank", "id", "score").collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong, r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Double])))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(got.map(t => (t._1, t._2, t._3, t._4.map(d => if (d.isNaN) "NaN" else d.toString)))
+      == want.map(t => (t._1, t._2, t._3, t._4.map(d => if (d.isNaN) "NaN" else d.toString))))
+  }
+
   test("TopK result is invariant to input partitioning (merge correctness)") {
     import spark.implicits._
     val r = new graft.util.SplitMix64(7L)
@@ -190,6 +216,50 @@ class ScaleGuardSpec extends AnyFunSuite {
     val plan = graft.functions.IvfIndex.query(spark, dir, q)
       .queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters: [cell#") || plan.contains("cell IN"), plan)
+  }
+
+  test("IVF index staleness: in-place content change with same row count is detected") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+    val dir = java.nio.file.Files.createTempDirectory("ivf_stale").toString
+    graft.functions.IvfIndex.build(emb, dir)
+    assert(graft.functions.IvfIndex.isCurrent(spark, dir, emb))
+    // mutate ONE vector, keep the row count — the r2 manifest (rows +
+    // nCells only) silently served stale neighbors for exactly this
+    val mutated = emb.as[(Long, Array[Float])]
+      .map { case (id, v) =>
+        if (id == 7L) (id, v.map(x => -x)) else (id, v)
+      }.toDF("vec_id", "embedding")
+    assert(mutated.count() == emb.count())
+    assert(!graft.functions.IvfIndex.isCurrent(spark, dir, mutated))
+    // params are part of the manifest too
+    assert(!graft.functions.IvfIndex.isCurrent(spark, dir, emb, nCells = 8))
+  }
+
+  test("IVF seeding survives a sparse id space (no dense-from-0 assumption)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+    val shifted = emb.withColumn("vec_id", col("vec_id") + 1000000L)
+    // r2 seeded via filter(id < nCells): an id space starting above
+    // nCells produced an EMPTY seed set, a degenerate index, and empty
+    // query results with no error
+    val dir = java.nio.file.Files.createTempDirectory("ivf_sparse").toString
+    graft.functions.IvfIndex.build(shifted, dir)
+    val got = graft.functions.IvfIndex.query(spark, dir,
+      shifted.filter(col("vec_id") < 1000005L)).collect()
+    assert(got.nonEmpty)
+    // and the fit is id-translation-invariant: same neighbors modulo shift
+    val baseDir = java.nio.file.Files.createTempDirectory("ivf_base").toString
+    graft.functions.IvfIndex.build(emb, baseDir)
+    val base = graft.functions.IvfIndex.query(spark, baseDir,
+      emb.filter(col("vec_id") < 5L)).collect()
+    val unshift = got.map(r => (r.getLong(0) - 1000000L, r.getLong(1),
+      r.getLong(2) - 1000000L, r.getLong(3))).toSeq
+    assert(unshift == base.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq)
   }
 
   test("WARC: one malformed record mid-file loses only itself") {

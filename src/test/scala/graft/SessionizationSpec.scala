@@ -110,5 +110,51 @@ class SessionizationSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("open-session accounting: closed + open pages reconcile to input rows") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("sess_ckpt").toString
+    val input = MemoryStream[PageEvent]
+    val q = StreamingExtract.crawlSessions(input.toDS(), gapMinutes = 60)
+      .writeStream.format("memory").queryName("sessions_t4")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      // host f: one closed session (gap) + one trailing open session;
+      // host g: only an open session — 5 input rows total
+      input.addData(
+        ev("f.example.com", "2024-04-01 09:00:00", bytes = 1L),
+        ev("f.example.com", "2024-04-01 09:10:00", bytes = 2L),
+        ev("f.example.com", "2024-04-01 15:00:00", bytes = 4L),
+        ev("g.example.com", "2024-04-01 10:00:00", bytes = 8L),
+        ev("g.example.com", "2024-04-01 10:30:00", bytes = 16L))
+      q.processAllAvailable()
+      val closed = spark.table("sessions_t4").as[HostSession].collect().toSeq
+      assert(closed == Seq(HostSession("f.example.com",
+        ts("2024-04-01 09:00:00"), ts("2024-04-01 09:10:00"), 2L, 3L)))
+      val open = StreamingExtract.openSessions(spark, ckpt).collect().toSet
+      assert(open == Set(
+        HostSession("f.example.com", ts("2024-04-01 15:00:00"), ts("2024-04-01 15:00:00"), 1L, 4L),
+        HostSession("g.example.com", ts("2024-04-01 10:00:00"), ts("2024-04-01 10:30:00"), 2L, 24L)),
+        open)
+      // the reconciliation invariant: every input page is accounted for
+      assert(closed.map(_.n_pages).sum + open.toSeq.map(_.n_pages).sum == 5L)
+      assert(closed.map(_.bytes).sum + open.toSeq.map(_.bytes).sum == 31L)
+    } finally q.stop()
+  }
+
+  test("x20 publishes closed+open and reconciles to the corpus row count") {
+    val out = SparkEntry.queries("x20_crawl_sessions")(spark, "").collect()
+    val pagesTotal = {
+      val (pagesDir, _) = SparkEntry.microTables(spark)
+      spark.read.parquet(s"$pagesDir/data").count()
+    }
+    val accounted = out.map(r =>
+      r.getAs[Long]("pages_in_closed") + r.getAs[Long]("pages_in_open")).sum
+    assert(accounted == pagesTotal, s"accounted=$accounted pages=$pagesTotal")
+    // the trailing session per host means open side is non-trivial
+    assert(out.map(_.getAs[Long]("pages_in_open")).sum > 0)
+  }
+
   private def ts(s: String): Long = java.sql.Timestamp.valueOf(s).getTime
 }
