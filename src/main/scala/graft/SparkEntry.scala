@@ -413,6 +413,53 @@ object SparkEntry {
             .cast("long")).as("sum_prec_x1000"))
         .orderBy("category")
     }),
+    "q25_dedup_clusters" -> ((s, dir) => {
+      // Oracle for the connected-components dedup-clustering operator
+      // (x19's family, previously tests-only): a deterministic planted
+      // edge list over documents — chains of five consecutive doc_ids
+      // (multi-hop, so label propagation must actually iterate) plus
+      // isolated singleton nodes — closed by
+      // TextSketch.connectedComponents vs DuckDB's WITH RECURSIVE
+      // min-label closure over the same edges.
+      val d = t(s, dir, "documents").select(col("doc_id").cast("long").as("doc_id"))
+      val nodes = d.filter(col("doc_id") % 10 <= 5)
+      val edges = d.filter(col("doc_id") % 10 < 4).select(col("doc_id").as("doc_a"))
+        .join(d.select(col("doc_id").as("doc_b")), col("doc_b") === col("doc_a") + 1)
+      val labels = graft.functions.TextSketch.connectedComponents(edges)
+      nodes.join(labels, nodes("doc_id") === labels("id"), "left")
+        .select(nodes("doc_id"),
+          coalesce(col("label"), nodes("doc_id")).as("cluster"))
+        .orderBy("doc_id")
+    }),
+    "q26_session_gaps" -> ((s, dir) => {
+      // Batch gap-sessionization — the SQL-expressible oracle for the
+      // sessionization SEMANTICS x20 implements in streaming form: a new
+      // session starts when the gap from the user's previous event
+      // exceeds 30 minutes (lag + running sum, both engines); per-session
+      // aggregates. Microsecond epoch arithmetic (not seconds) so
+      // truncation-vs-rounding of fractional seconds can't diverge, and
+      // per-event round(value*100) before the sum so float summation
+      // order can't move a floor boundary.
+      import org.apache.spark.sql.expressions.Window
+      val e = t(s, dir, "events")
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      // parquet ts is TIMESTAMP_NTZ; the cast (UTC session) makes it
+      // unix_micros-able without shifting the wall-clock value
+      val tsUs = unix_micros(col("ts").cast("timestamp"))
+      val gapped = e.select(col("user_id"), col("ts"), col("event_id"), col("value"))
+        .withColumn("prev_us", lag(tsUs, 1).over(w))
+        .withColumn("new_sess",
+          when(col("prev_us").isNull ||
+            tsUs - col("prev_us") > 1800L * 1000000L, 1L)
+            .otherwise(0L))
+        .withColumn("sess_id", sum(col("new_sess")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      gapped.groupBy(col("user_id"), col("sess_id"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts")).as("start_ts"), max(col("ts")).as("end_ts"),
+          sum(round(col("value") * 100).cast("long")).as("sum_value_x100"))
+        .orderBy("user_id", "sess_id")
+    }),
 
     // ---- extraction pipeline (rows-only: not SQL-expressible) ----
     "x01_extract_plain" -> ((s, _) => {
@@ -953,5 +1000,42 @@ object SparkEntry {
         |  FROM scored)
         |SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id AS neighbor_id
         |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q25_dedup_clusters" ->
+      // min-label closure via recursive reachability: reach(id, label)
+      // holds every node id reachable FROM label; min per id = the
+      // component's minimum node id — the same labels min-propagation
+      // converges to
+      """WITH RECURSIVE nodes AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS id FROM documents WHERE doc_id % 10 <= 5
+        |), e0 AS (
+        |  SELECT CAST(a.doc_id AS BIGINT) AS src, CAST(b.doc_id AS BIGINT) AS dst
+        |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        |  WHERE a.doc_id % 10 < 4
+        |), edges AS (
+        |  SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0
+        |), reach(id, label) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id
+        |)
+        |SELECT id AS doc_id, CAST(min(label) AS BIGINT) AS cluster
+        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+    "q26_session_gaps" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |      THEN 1 ELSE 0 END AS new_sess
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), s AS (
+        |  SELECT user_id, ts, value,
+        |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        |  FROM g)
+        |SELECT user_id, CAST(sess_id AS BIGINT) AS sess_id,
+        |  count(*) AS n_events,
+        |  min(ts) AS start_ts, max(ts) AS end_ts,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_x100
+        |FROM s GROUP BY user_id, sess_id ORDER BY user_id, sess_id""".stripMargin,
   )
 }

@@ -252,6 +252,21 @@ object TextSketch extends Serializable {
     * are vertex ids (longs) — no strings shuffle. The per-iteration
     * convergence check is an aggregated count, not a collect.
     */
+  /** One min-label propagation hop: every node adopts the smallest label
+    * reachable over one edge (edge→label join, min aggregate, left join
+    * back). Exposed so the per-hop plan is a reviewable artifact
+    * (ExplainAll → PLANS.md) — the connectedComponents loop is exactly
+    * this, checkpoint-truncated every 4th hop. */
+  private[graft] def ccOneHop(edges: DataFrame, cur: DataFrame): DataFrame = {
+    val viaNeighbor = edges.join(cur.select(col("id").as("src"), col("label")), Seq("src"))
+      .groupBy(col("dst").as("id"))
+      .agg(min(col("label")).as("nbr_label"))
+    cur.join(viaNeighbor, Seq("id"), "left")
+      .select(col("id"),
+        least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"),
+        (col("nbr_label").isNotNull && col("nbr_label") < col("label")).as("changed"))
+  }
+
   def connectedComponents(pairs: DataFrame, maxIters: Int = 48): DataFrame = {
     val spark = pairs.sparkSession
     val edges = pairs.select(col("doc_a").cast("long").as("src"), col("doc_b").cast("long").as("dst"))
@@ -284,14 +299,7 @@ object TextSketch extends Serializable {
     var iter = 0
     var converged = false
     while (!converged && iter < maxIters) {
-      // best label reachable over one hop
-      val viaNeighbor = edges.join(cur.select(col("id").as("src"), col("label")), Seq("src"))
-        .groupBy(col("dst").as("id"))
-        .agg(min(col("label")).as("nbr_label"))
-      val nextRaw = cur.join(viaNeighbor, Seq("id"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"),
-          (col("nbr_label").isNotNull && col("nbr_label") < col("label")).as("changed"))
+      val nextRaw = ccOneHop(edges, cur)
       val truncate = iter % 4 == 3
       val next = if (truncate) truncateLineage(nextRaw) else nextRaw.persist()
       val nChanged = next.filter(col("changed")).count() // materializes next

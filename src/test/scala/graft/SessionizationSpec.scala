@@ -156,5 +156,51 @@ class SessionizationSpec extends AnyFunSuite {
     assert(out.map(_.getAs[Long]("pages_in_open")).sum > 0)
   }
 
+  test("streaming closed+open equals batch lag/window gap-sessionization (q26 semantics)") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // deterministic pseudo-random corpus: 7 hosts, 400 fetches over two
+    // weeks — plenty of gap closures, ties, and trailing open sessions
+    val rnd = new graft.util.SplitMix64(99L)
+    val base = java.sql.Timestamp.valueOf("2024-05-01 00:00:00").getTime
+    val evs = (0 until 400).map { i =>
+      PageEvent(s"h${rnd.nextInt(7)}.example.com",
+        new java.sql.Timestamp(base + rnd.nextInt(14 * 24 * 60).toLong * 60000L),
+        (i % 17).toLong)
+    }
+    val ckpt = java.nio.file.Files.createTempDirectory("sess_eq").toString
+    val input = MemoryStream[PageEvent]
+    val q = StreamingExtract.crawlSessions(input.toDS(), gapMinutes = 60)
+      .writeStream.format("memory").queryName("sessions_eq")
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    try {
+      input.addData(evs)
+      q.processAllAvailable()
+      val streamed = (spark.table("sessions_eq").as[HostSession].collect() ++
+        StreamingExtract.openSessions(spark, ckpt).collect()).toSet
+      // the batch formulation (exactly q26's lag + running-sum shape)
+      val byHost = Window.partitionBy("host").orderBy("ms")
+      val sessions = evs.toDF()
+        .withColumn("ms", unix_millis(col("ts")))
+        .withColumn("prev", lag(col("ms"), 1).over(byHost))
+        .withColumn("new_sess",
+          when(col("prev").isNull || col("ms") - col("prev") > 3600000L, 1L).otherwise(0L))
+        .withColumn("sess", sum(col("new_sess")).over(
+          byHost.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("host"), col("sess"))
+        .agg(min(col("ms")).as("start_ms"), max(col("ms")).as("end_ms"),
+          count(lit(1)).as("n_pages"), sum(col("bytes")).as("bytes"))
+        .select(col("host"), col("start_ms"), col("end_ms"), col("n_pages"), col("bytes"))
+        .as[HostSession].collect().toSet
+      assert(streamed == sessions,
+        s"streamed-only=${streamed -- sessions}, batch-only=${sessions -- streamed}")
+      // and the batch side must contain real multi-session hosts (not a
+      // vacuously-trivial corpus)
+      assert(sessions.groupBy(_.host).values.exists(_.size > 3))
+    } finally q.stop()
+  }
+
   private def ts(s: String): Long = java.sql.Timestamp.valueOf(s).getTime
 }
