@@ -23,12 +23,19 @@ object IvfIndex {
     * is preserved (the failure mode a count-only manifest waves through).
     * XOR lets PAIRS of identical duplicate rows cancel; acceptable for a
     * staleness check (vec_id participates, so ids are never identical). */
-  def contentFingerprint(emb: DataFrame): Long =
-    emb.select(xxhash64(col("vec_id"), col("embedding")).as("h"))
-      .agg(expr("bit_xor(h)")).head().getLong(0)
+  def contentFingerprint(emb: DataFrame): Long = manifestStats(emb)._2
 
-  private def manifestJson(rows: Long, fp: Long, nCells: Int, iters: Int): String =
-    s"""{"rows":$rows,"fingerprint":$fp,"nCells":$nCells,"iters":$iters}"""
+  /** (row count, content fingerprint) in ONE scan — build/isCurrent need
+    * both, and at 10^9 vectors two separate passes double the manifest
+    * cost for no reason. */
+  private def manifestStats(emb: DataFrame): (Long, Long) = {
+    val r = emb.select(xxhash64(col("vec_id"), col("embedding")).as("h"))
+      .agg(count(lit(1)).as("n"), expr("bit_xor(h)").as("fp")).head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  private def manifestJson(stats: (Long, Long), nCells: Int, iters: Int): String =
+    s"""{"rows":${stats._1},"fingerprint":${stats._2},"nCells":$nCells,"iters":$iters}"""
 
   /** Deterministic centroid seeds: the nCells lowest vec_ids — WITHOUT
     * assuming ids are dense from 0 (an id space starting above nCells
@@ -89,7 +96,7 @@ object IvfIndex {
     // params that shape the index (an index dir surviving an in-place
     // input change would otherwise serve stale neighbors silently)
     java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/MANIFEST"),
-      manifestJson(emb.count(), contentFingerprint(emb), nCells, iters))
+      manifestJson(manifestStats(emb), nCells, iters))
   }
 
   /** True when a usable index exists at `dir` AND its manifest matches
@@ -99,7 +106,7 @@ object IvfIndex {
     val m = java.nio.file.Paths.get(s"$dir/MANIFEST")
     java.nio.file.Files.exists(m) && {
       val txt = java.nio.file.Files.readString(m)
-      txt == manifestJson(emb.count(), contentFingerprint(emb), nCells, iters)
+      txt == manifestJson(manifestStats(emb), nCells, iters)
     }
   }
 

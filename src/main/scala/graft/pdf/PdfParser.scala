@@ -200,15 +200,38 @@ object PdfParser {
       } else if (c == '%') {
         while (i < n && s.charAt(i) != '\n') i += 1
       } else if ((c >= '0' && c <= '9') || c == '-' || c == '+' || c == '.') {
-        val start = i
-        i += 1
-        while (i < n && ((s.charAt(i) >= '0' && s.charAt(i) <= '9') || s.charAt(i) == '.')) i += 1
-        // positioning ops read at most the last 6 operands, so the stack
-        // is capped: a hostile stream of bare numbers would otherwise
-        // grow this buffer without bound (numbers were O(1) pre-tracking)
-        if (nums.length >= 8) nums.remove(0)
-        try nums += s.substring(start, i).toDouble
-        catch { case _: NumberFormatException => () } // lone '-'/'+'/'.'
+        // Hand-rolled decimal parse (PDF numbers are sign + digits +
+        // optional fraction — no exponent): the substring + toDouble
+        // formulation allocated and slow-parsed EVERY bare number in the
+        // stream, and profiling the kernel per payload kind showed it as
+        // the round-2 pdf cost increase. Positioning ops read at most the
+        // last 6 operands, so the stack is capped at 8: a hostile stream
+        // of bare numbers must not grow it without bound.
+        val neg = c == '-'
+        if (c == '-' || c == '+') i += 1
+        var mant = 0L      // all digits as one integer
+        var div = 1L       // 10^(fraction digits)
+        var digits = 0
+        var any = false
+        while (i < n && s.charAt(i) >= '0' && s.charAt(i) <= '9') {
+          if (digits < 18) { mant = mant * 10 + (s.charAt(i) - '0'); digits += 1 }
+          any = true; i += 1
+        }
+        if (i < n && s.charAt(i) == '.') {
+          i += 1
+          while (i < n && s.charAt(i) >= '0' && s.charAt(i) <= '9') {
+            if (digits < 18) { mant = mant * 10 + (s.charAt(i) - '0'); div *= 10; digits += 1 }
+            any = true; i += 1
+          }
+        }
+        if (any) {
+          if (nums.length >= 8) nums.remove(0)
+          // mant and div are exact in double (< 2^60 capped at 18 digits,
+          // typical PDF coords well under 2^53), so one correctly-rounded
+          // division reproduces toDouble's value for realistic inputs
+          val v = mant.toDouble / div.toDouble
+          nums += (if (neg) -v else v)
+        } // lone '-'/'+'/'.' pushes nothing
       } else if (isOpChar(c)) {
         val start = i
         while (i < n && isOpChar(s.charAt(i))) i += 1
