@@ -117,38 +117,58 @@ object Bench {
         SparkSession.clearDefaultSession()
       }
     }
-    val pairs: Seq[(Pass, Pass)] = (1 to 3).map { p =>
-      (onePass(8, warm = p == 1), onePass(32, warm = p == 1))
+    // Each pair ALSO measures the hardware ceiling in the same time
+    // window: normalizing a pass pair by a ceiling measured minutes later
+    // let ~30% absolute host drift masquerade as (anti-)scaling twice
+    // (KERNEL.md — the anchor and the workload do not even drift
+    // proportionally, so adjacency is the only defense). Per-pair
+    // normalized efficiency = raw-within-pair / ceiling-within-pair;
+    // the reported figure is the median pair.
+    final case class PairM(p8: Pass, p32: Pass, hw8: Double, hw32: Double) {
+      def ceiling: Double = (hw32 / hw8) / 4.0
     }
+    val pairs: Seq[PairM] = (1 to 3).map { p =>
+      val a = onePass(8, warm = p == 1)
+      val h8 = graft.util.HwCalib.calibrate(8)
+      val b = onePass(32, warm = p == 1)
+      val h32 = graft.util.HwCalib.calibrate(32)
+      PairM(a, b, h8, h32)
+    }
+    // per-pair efficiencies go into BENCH.md verbatim: this host's burst
+    // drift makes single medians look authoritative when the spread is
+    // the real story (KERNEL.md) — publish the spread
+    def pairEffs(f: Pass => Double): Seq[Double] =
+      pairs.map(m => (f(m.p8) / f(m.p32)) / 4.0)
     def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.length / 2)
-    val n8 = pairs.head._1.n
-    val n32 = pairs.head._2.n
-    val sec8 = pairs.map(_._1.sec).min
-    val sec32 = pairs.map(_._2.sec).min
-    val chunked8 = pairs.map(_._1.secChunked).min
-    val chunked32 = pairs.map(_._2.secChunked).min
-    val salted8 = pairs.map(_._1.secSalted).min
-    val salted32 = pairs.map(_._2.secSalted).min
+    val n8 = pairs.head.p8.n
+    val n32 = pairs.head.p32.n
+    val sec8 = pairs.map(_.p8.sec).min
+    val sec32 = pairs.map(_.p32.sec).min
+    val chunked8 = pairs.map(_.p8.secChunked).min
+    val chunked32 = pairs.map(_.p32.secChunked).min
+    val salted8 = pairs.map(_.p8.secSalted).min
+    val salted32 = pairs.map(_.p32.secSalted).min
     val thr8 = n8 / sec8
     val thr32 = n32 / sec32
-    val eff = median(pairs.map { case (a, b) => (a.sec / b.sec) / 4.0 })
-    val effChunked = median(pairs.map { case (a, b) => (a.secChunked / b.secChunked) / 4.0 })
-    val effSalted = median(pairs.map { case (a, b) => (a.secSalted / b.secSalted) / 4.0 })
-    // hardware parallel-scaling ceiling on this box (BASELINE.md):
-    // pure-CPU reference workload at the same two thread counts, also
-    // paired-adjacent for the same drift reason
+    val eff = median(pairEffs(_.sec))
+    val effChunked = median(pairEffs(_.secChunked))
+    val effSalted = median(pairEffs(_.secSalted))
     val hw1 = graft.util.HwCalib.calibrate(1) // absolute host-speed context:
     // this box's speed drifts with hypervisor burst state (measured 2x over
     // hours), so docs/sec is only comparable across rounds via this anchor
-    val hwCeiling = median((1 to 3).map { _ =>
-      val h8 = graft.util.HwCalib.calibrate(8)
-      val h32 = graft.util.HwCalib.calibrate(32)
-      (h32 / h8) / 4.0
-    })
-    val effNorm = eff / hwCeiling
+    val hwCeiling = median(pairs.map(_.ceiling))
+    // normalized WITHIN each pair, then median — raw/ceiling of medians
+    // mixes time windows and double-counts drift
+    val effNorm = median(pairs.map(m => ((m.p8.sec / m.p32.sec) / 4.0) / m.ceiling))
+    val effChunkedNorm = median(pairs.map(m => ((m.p8.secChunked / m.p32.secChunked) / 4.0) / m.ceiling))
 
     val qs = queryTimes.map { case (k, v) => s""""$k":${f"$v%.3f"}""" }.mkString("{", ",", "}")
     val total = queryTimes.map(_._2).filter(_ >= 0).sum + sec8 + sec32
+    val pairsJson = pairs.map { m =>
+      s"""{"secs_8":${f"${m.p8.sec}%.3f"},"secs_32":${f"${m.p32.sec}%.3f"},""" +
+      s""""agg_secs_8":${f"${m.p8.secChunked}%.3f"},"agg_secs_32":${f"${m.p32.secChunked}%.3f"},""" +
+      s""""hw_ceiling":${f"${m.ceiling}%.3f"}}"""
+    }.mkString("[", ",", "]")
     val extraction =
       s"""{"docs":$n32,"secs_8":${f"$sec8%.3f"},"secs_32":${f"$sec32%.3f"},""" +
       s""""docs_per_sec_8":${f"$thr8%.1f"},"docs_per_sec_32":${f"$thr32%.1f"},""" +
@@ -158,8 +178,10 @@ object Bench {
       s""""scaling_efficiency_normalized":${f"$effNorm%.3f"},""" +
       s""""agg_secs_8":${f"$chunked8%.3f"},"agg_secs_32":${f"$chunked32%.3f"},""" +
       s""""agg_scaling_efficiency":${f"$effChunked%.3f"},""" +
+      s""""agg_scaling_efficiency_normalized":${f"$effChunkedNorm%.3f"},""" +
       s""""salted_secs_8":${f"$salted8%.3f"},"salted_secs_32":${f"$salted32%.3f"},""" +
-      s""""salted_scaling_efficiency":${f"$effSalted%.3f"}}"""
+      s""""salted_scaling_efficiency":${f"$effSalted%.3f"},""" +
+      s""""pairs":$pairsJson}"""
     val jsonLine =
       s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir","extraction":$extraction}"""
     println(jsonLine)
@@ -204,19 +226,30 @@ object Bench {
          |shuffle): ${f"$effChunked%.3f"}; salted payload-shuffle bound:
          |${f"$effSalted%.3f"}.
          |
-         |Hardware ceiling on this box (pure-CPU xxh64 calibration, same
-         |protocol — per-core speed at all-core load is ~0.5× few-core
-         |speed, see BASELINE.md): **${f"$hwCeiling%.3f"}**. Normalized
-         |extraction scaling efficiency = ${f"$eff%.3f"}/${f"$hwCeiling%.3f"} =
-         |**${f"$effNorm%.3f"}** (target ≥ 0.8 — the predictor for real
-         |N vs 4N executor clusters on disjoint machines).
+         |Hardware ceiling on this box (pure-CPU xxh64 calibration at the
+         |same two thread counts, measured INSIDE each pass pair — per-core
+         |speed at all-core load is ~0.5× few-core speed, see BASELINE.md):
+         |median **${f"$hwCeiling%.3f"}**. Normalized extraction scaling
+         |efficiency (per-pair raw ÷ per-pair ceiling, median over pairs) =
+         |**${f"$effNorm%.3f"}** map-only, **${f"$effChunkedNorm%.3f"}**
+         |classify→aggregate (target ≥ 0.8 — the predictor for real N vs 4N
+         |executor clusters on disjoint machines).
+         |
+         |Per-pair raw efficiencies and ceilings (spread is the honest
+         |error bar on this burst-drifting host — see KERNEL.md):
+         |map-only ${pairEffs(_.sec).map(e => f"$e%.3f").mkString(", ")};
+         |classify→aggregate ${pairEffs(_.secChunked).map(e => f"$e%.3f").mkString(", ")};
+         |salted ${pairEffs(_.secSalted).map(e => f"$e%.3f").mkString(", ")};
+         |ceilings ${pairs.map(m => f"${m.ceiling}%.3f").mkString(", ")}.
          |
          |Headline query times on `$sfDir` at local[$cpus]:
          |
          || query | seconds |
          ||---|---|
-         |${queryTimes.map { case (k, v) => s"| $k | ${f"$v%.3f"} |" }.mkString("\n")}
-         |""".stripMargin
+         |""".stripMargin +
+      // NOTE: appended after stripMargin — generated rows start with '|',
+      // which stripMargin would otherwise strip as a margin marker
+      queryTimes.map { case (k, v) => s"| $k | ${f"$v%.3f"} |" }.mkString("\n") + "\n"
     java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH.md").toAbsolutePath, md)
   }
 }

@@ -461,6 +461,39 @@ object SparkEntry {
         .orderBy("user_id", "sess_id")
     }),
 
+    "q27_repetition_filter" -> ((s, dir) => {
+      // Gopher-family within-document repetition filter (training-data
+      // pipeline op): fraction of duplicate word-trigrams per doc.
+      // Everything per-row via higher-order functions — transform over a
+      // sequence builds the trigram list, array_distinct counts uniques —
+      // so the operator is map-only until the final per-lang aggregate
+      // (the shape that survives 100 TB: no explode, no shuffle of
+      // n-gram rows).
+      // planted repetitive docs (prefix repeated 12x) keep the >threshold
+      // branch non-vacuous — the natural corpus is random words and never
+      // crosses 20% duplicate trigrams
+      val d0 = t(s, dir, "documents")
+      val d = d0.select(col("lang"), col("text"))
+        .unionByName(d0.filter(col("doc_id") < 20)
+          .select(lit("planted").as("lang"),
+            repeat(concat(substring(col("text"), 1, 40), lit(" ")), 12).as("text")))
+      val toks = split(col("text"), " ")
+      val nTri = size(toks) - 2
+      val tris = transform(sequence(lit(0), nTri - 1),
+        i => concat_ws(" ", element_at(toks, i + 1),
+          element_at(toks, i + 2), element_at(toks, i + 3)))
+      d.select(col("lang"),
+          when(nTri >= 1,
+            floor(lit(1000.0) * (nTri - size(array_distinct(tris))) / nTri)
+              .cast("long"))
+            .otherwise(0L).as("rep_x1000"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("rep_x1000")).as("sum_rep_x1000"),
+          sum(when(col("rep_x1000") > 200, 1L).otherwise(0L)).as("n_repetitive"))
+        .orderBy("lang")
+    }),
+
     // ---- extraction pipeline (rows-only: not SQL-expressible) ----
     "x01_extract_plain" -> ((s, _) => {
       val (pagesDir, _) = microTables(s)
@@ -1037,5 +1070,25 @@ object SparkEntry {
         |  min(ts) AS start_ts, max(ts) AS end_ts,
         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_x100
         |FROM s GROUP BY user_id, sess_id ORDER BY user_id, sess_id""".stripMargin,
+    "q27_repetition_filter" ->
+      """WITH base AS (
+        |  SELECT lang, text FROM documents
+        |  UNION ALL
+        |  SELECT 'planted' AS lang, repeat(substring(text, 1, 40) || ' ', 12) AS text
+        |  FROM documents WHERE doc_id < 20),
+        |r AS (
+        |  SELECT lang,
+        |    CASE WHEN len(string_split(text, ' ')) >= 3 THEN
+        |      CAST(floor(1000.0 * (
+        |        (len(string_split(text, ' ')) - 2) -
+        |        len(list_distinct(list_transform(range(len(string_split(text, ' ')) - 2),
+        |          i -> string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2] || ' ' || string_split(text, ' ')[i+3])))
+        |      ) / (len(string_split(text, ' ')) - 2)) AS BIGINT)
+        |    ELSE 0 END AS rep_x1000
+        |  FROM base)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(rep_x1000) AS BIGINT) AS sum_rep_x1000,
+        |  CAST(sum(CASE WHEN rep_x1000 > 200 THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive
+        |FROM r GROUP BY lang ORDER BY lang""".stripMargin,
   )
 }
