@@ -494,6 +494,98 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    "q28_decontamination" -> ((s, dir) => {
+      // Benchmark decontamination (training-data pipeline op): flag
+      // corpus documents sharing >= 3 distinct word 5-grams with a held
+      // "benchmark" set (the GPT-3/PaLM-style n-gram overlap rule).
+      // Scale shape: the benchmark gram set is SMALL (eval suites are
+      // thousands of docs) -> distinct once and BROADCAST; the corpus
+      // side explodes its per-doc distinct grams map-side and the hash
+      // join is shuffle-free, so the only shuffle is the per-doc overlap
+      // count — never a corpus x corpus comparison.
+      // benchmark = doc_id % 101 == 0; planted contaminated docs (the
+      // first 120 chars of each benchmark doc) keep the >= 3 branch
+      // non-vacuous — natural random-word docs share no 5-grams.
+      val d = t(s, dir, "documents")
+      val corpus = d.filter(col("doc_id") % 101 =!= 0)
+        .select(col("doc_id").cast("long").as("doc_id"), col("lang"), col("text"))
+        .unionByName(d.filter(col("doc_id") % 101 === 0)
+          .select((col("doc_id") + 500000L).as("doc_id"), lit("planted").as("lang"),
+            substring(col("text"), 1, 120).as("text")))
+      val toks = split(col("text"), " ")
+      val nW = size(toks)
+      val grams = transform(sequence(lit(1), nW - 4),
+        i => concat_ws(" ", slice(toks, i, lit(5))))
+      val benchGrams = d.filter(col("doc_id") % 101 === 0 && size(split(col("text"), " ")) >= 5)
+        .select(explode(array_distinct(grams)).as("g")).distinct()
+      val overlaps = corpus.filter(nW >= 5)
+        .select(col("doc_id"), explode(array_distinct(grams)).as("g"))
+        .join(broadcast(benchGrams), Seq("g"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_overlap"))
+      corpus.join(overlaps, Seq("doc_id"), "left")
+        .select(col("lang"), coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("n_overlap") >= 3, 1L).otherwise(0L)).as("n_contaminated"),
+          sum(col("n_overlap")).as("sum_overlap"))
+        .orderBy("lang")
+    }),
+
+    "q29_pii_scrub" -> ((s, dir) => {
+      // PII scrubbing (C4/Dolma-style redaction): detect + redact email /
+      // phone / IPv4 via regexes written in the RE2-compatible subset so
+      // Java (Spark) and RE2 (DuckDB) agree byte-for-byte. Map-only until
+      // the per-lang aggregate — the 100 TB shape. Planted PII rows keep
+      // every branch non-vacuous (the natural corpus has none).
+      val pEmail = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+      val pPhone = """\b\d{3}[-.]\d{3}[-.]\d{4}\b"""
+      val pIp = """\b\d{1,3}(\.\d{1,3}){3}\b"""
+      val d0 = t(s, dir, "documents")
+      val d = d0.select(col("lang"), col("text"))
+        .unionByName(d0.filter(col("doc_id") < 30)
+          .select(lit("planted").as("lang"),
+            concat(substring(col("text"), 1, 40),
+              lit(" contact user"), col("doc_id").cast("string"),
+              lit("@example.com or call 555-123-4567 from 10.0.0."),
+              (col("doc_id") % 250).cast("string")).as("text")))
+      val scrubbed = regexp_replace(regexp_replace(regexp_replace(col("text"),
+        pEmail, "<EMAIL>"), pPhone, "<PHONE>"), pIp, "<IP>")
+      d.select(col("lang"),
+          size(regexp_extract_all(col("text"), lit(pEmail), lit(0))).cast("long").as("n_email"),
+          size(regexp_extract_all(col("text"), lit(pPhone), lit(0))).cast("long").as("n_phone"),
+          size(regexp_extract_all(col("text"), lit(pIp), lit(0))).cast("long").as("n_ip"),
+          length(scrubbed).cast("long").as("scrub_len"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("n_email") >= 1, 1L).otherwise(0L)).as("n_email_docs"),
+          sum(when(col("n_phone") >= 1, 1L).otherwise(0L)).as("n_phone_docs"),
+          sum(when(col("n_ip") >= 1, 1L).otherwise(0L)).as("n_ip_docs"),
+          sum(col("n_email") + col("n_phone") + col("n_ip")).as("n_matches"),
+          sum(col("scrub_len")).as("sum_scrub_len"))
+        .orderBy("lang")
+    }),
+
+    "q30_stratified_sample" -> ((s, dir) => {
+      // Deterministic hash-stratified sampling (training-data mixing):
+      // keep a doc iff the first hex byte of md5(text) clears a per-lang
+      // threshold — reproducible across engines, machines and
+      // parallelism (rand()-sampling is none of those). Map-only filter;
+      // the only shuffle is the per-lang audit aggregate. Spark
+      // md5(cast binary) and DuckDB md5 both hash UTF-8 bytes to
+      // lowercase hex, so the keep decision is bit-identical.
+      val keyHex = substring(md5(col("text").cast("binary")), 1, 2)
+      val threshold = when(col("lang") === "en", "40")
+        .when(col("lang") === "zh", "80").otherwise("20")
+      t(s, dir, "documents")
+        .select(col("lang"), col("n_chars"), (keyHex < threshold).as("keep"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("keep"), col("n_chars")).otherwise(0L)).as("kept_chars"))
+        .orderBy("lang")
+    }),
+
     // ---- extraction pipeline (rows-only: not SQL-expressible) ----
     "x01_extract_plain" -> ((s, _) => {
       val (pagesDir, _) = microTables(s)
@@ -623,6 +715,26 @@ object SparkEntry {
       if (!graft.functions.IvfIndex.isCurrent(s, idx, emb))
         graft.functions.IvfIndex.build(emb, idx)
       graft.functions.IvfIndex.query(s, idx, emb.filter(col("vec_id") < 5))
+    }),
+    "x22_outlinks" -> ((s, _) => {
+      // host link-graph construction: map-side link extraction (streaming
+      // tokenizer, no DOM), ONE shuffle keyed by (src_host, dst_host) —
+      // the standard webgraph build at crawl scale. External + protocol-
+      // relative + relative hrefs all resolve; PDF payloads contribute
+      // nothing (magic-byte dispatch).
+      import s.implicits._
+      val (pagesDir, _) = microTables(s)
+      IceLite.read(s, pagesDir).select(col("url"), col("html"))
+        .as[(String, Array[Byte])]
+        .flatMap { case (url, bytes) =>
+          val src = graft.extract.Outlinks.host(url)
+          graft.extract.Outlinks.extract(bytes, url)
+            .map(l => (src, l.targetHost, l.external))
+        }
+        .toDF("src_host", "dst_host", "external")
+        .groupBy(col("src_host"), col("dst_host"), col("external"))
+        .agg(count(lit(1)).as("n_links"))
+        .orderBy("src_host", "dst_host")
     }),
     "x11_multimodal_features" -> ((s, _) =>
       graft.functions.Multimodal.featureStats(s, 2000L)),
@@ -1090,5 +1202,61 @@ object SparkEntry {
         |  CAST(sum(rep_x1000) AS BIGINT) AS sum_rep_x1000,
         |  CAST(sum(CASE WHEN rep_x1000 > 200 THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive
         |FROM r GROUP BY lang ORDER BY lang""".stripMargin,
+    "q28_decontamination" ->
+      """WITH corpus AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, text FROM documents WHERE doc_id % 101 <> 0
+        |  UNION ALL
+        |  SELECT CAST(doc_id + 500000 AS BIGINT), 'planted', substring(text, 1, 120)
+        |  FROM documents WHERE doc_id % 101 = 0),
+        |bgrams AS (
+        |  SELECT DISTINCT unnest(list_distinct(list_transform(range(len(string_split(text, ' ')) - 4),
+        |    i -> array_to_string(list_slice(string_split(text, ' '), i + 1, i + 5), ' ')))) AS g
+        |  FROM documents WHERE doc_id % 101 = 0 AND len(string_split(text, ' ')) >= 5),
+        |cg AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(range(len(string_split(text, ' ')) - 4),
+        |    i -> array_to_string(list_slice(string_split(text, ' '), i + 1, i + 5), ' ')))) AS g
+        |  FROM corpus WHERE len(string_split(text, ' ')) >= 5),
+        |ov AS (
+        |  SELECT doc_id, count(*) AS n_overlap FROM cg JOIN bgrams USING (g) GROUP BY doc_id)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN coalesce(n_overlap, 0) >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+        |  CAST(sum(coalesce(n_overlap, 0)) AS BIGINT) AS sum_overlap
+        |FROM corpus LEFT JOIN ov USING (doc_id)
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+    "q29_pii_scrub" ->
+      """WITH d AS (
+        |  SELECT lang, text FROM documents
+        |  UNION ALL
+        |  SELECT 'planted' AS lang,
+        |    substring(text, 1, 40) || ' contact user' || CAST(doc_id AS VARCHAR)
+        |      || '@example.com or call 555-123-4567 from 10.0.0.' || CAST(doc_id % 250 AS VARCHAR)
+        |  FROM documents WHERE doc_id < 30),
+        |m AS (
+        |  SELECT lang,
+        |    len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+        |    len(regexp_extract_all(text, '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS n_phone,
+        |    len(regexp_extract_all(text, '\b\d{1,3}(\.\d{1,3}){3}\b')) AS n_ip,
+        |    length(regexp_replace(regexp_replace(regexp_replace(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g'),
+        |      '\b\d{1,3}(\.\d{1,3}){3}\b', '<IP>', 'g')) AS scrub_len
+        |  FROM d)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN n_email >= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_email_docs,
+        |  CAST(sum(CASE WHEN n_phone >= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_phone_docs,
+        |  CAST(sum(CASE WHEN n_ip >= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_ip_docs,
+        |  CAST(sum(n_email + n_phone + n_ip) AS BIGINT) AS n_matches,
+        |  CAST(sum(scrub_len) AS BIGINT) AS sum_scrub_len
+        |FROM m GROUP BY lang ORDER BY lang""".stripMargin,
+    "q30_stratified_sample" ->
+      """WITH k AS (
+        |  SELECT lang, n_chars,
+        |    substring(md5(text), 1, 2) <
+        |      CASE lang WHEN 'en' THEN '40' WHEN 'zh' THEN '80' ELSE '20' END AS keep
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_total,
+        |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(sum(CASE WHEN keep THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+        |FROM k GROUP BY lang ORDER BY lang""".stripMargin,
   )
 }

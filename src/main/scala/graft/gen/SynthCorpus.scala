@@ -222,7 +222,10 @@ object SynthCorpus {
   private def writeAd(b: PageBuilder, r: SplitMix64): Unit = {
     r.nextInt(3) match {
       case 0 => b.raw(s"""<div class="ad">Sponsored: ${phrase(r, 2, 3)}</div>\n""")
-      case 1 => b.raw(s"""<div class="share">Share <a href="/tw">${phrase(r, 1, 2)}</a> <a href="/fb">${phrase(r, 1, 2)}</a></div>\n""")
+      // external + protocol-relative hrefs: href VALUES never enter
+      // extracted text (goldens unaffected) but give the outlink/host-graph
+      // operator (x22) real cross-host edges to build
+      case 1 => b.raw(s"""<div class="share">Share <a href="https://share.example.org/tw">${phrase(r, 1, 2)}</a> <a href="https://share.example.org/fb">${phrase(r, 1, 2)}</a></div>\n""")
       case _ => b.raw(s"""<!-- inline ad slot ${r.nextInt(100)} -->\n""")
     }
   }
@@ -233,7 +236,7 @@ object SynthCorpus {
       b.raw(s"""<li><a href="/rel$k">${Entities.escapeText(phrase(r, 2, 4))}</a></li>\n""")
     }
     b.raw("</ul></aside>\n")
-    b.raw(s"""<footer><p>&copy; 2024 ${Entities.escapeText(host)} — <a href="/p">Privacy</a> <a href="/t">Terms</a></p></footer>\n""")
+    b.raw(s"""<footer><p>&copy; 2024 ${Entities.escapeText(host)} — <a href="//legal.example.net/p">Privacy</a> <a href="/t">Terms</a></p></footer>\n""")
     b.raw("</body></html>\n")
   }
 
@@ -478,7 +481,14 @@ object SynthCorpus {
 
   /** Materialize both tables as IceLite snapshots under `root` (no-op if
     * already committed). Returns (pagesDir, goldenDir). */
-  def ensure(spark: SparkSession, nDocs: Long, root: String): (String, String) = {
+  /** Bump when the generator's output changes: the on-disk corpus cache
+    * is keyed by this, so a stale cache can never serve fixtures from an
+    * older generator (ensure() is existence-only otherwise). v2: external
+    * + protocol-relative boilerplate hrefs for the outlink operator. */
+  final val GenVersion = 2
+
+  def ensure(spark: SparkSession, nDocs: Long, root0: String): (String, String) = {
+    val root = s"${root0}_v$GenVersion"
     val pagesDir = s"$root/pages"
     val goldenDir = s"$root/golden"
     if (!graft.icelite.IceLite.exists(spark, pagesDir))
