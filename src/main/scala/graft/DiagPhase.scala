@@ -31,25 +31,31 @@ object DiagPhase {
     (1 to 2).foreach(_ => html.foreach(b => Extractor.extract(b, ExtractMode.Plain)))
     graft.util.HwCalib.calibrate(1)
     def med(xs: Seq[Double]): Double = xs.sorted.apply(xs.length / 2)
-    final case class Rep(tokNs: Long, blkNs: Long, extNs: Long, anchor: Double)
+    final case class Rep(decNs: Long, tokNs: Long, blkNs: Long, fusedNs: Long,
+        extNs: Long, anchor: Double)
     val repRows = (1 to reps).map { _ =>
       val a0 = graft.util.HwCalib.calibrate(1)
-      var tokNs = 0L; var blkNs = 0L; var extNs = 0L
+      var decNs = 0L; var tokNs = 0L; var blkNs = 0L; var fusedNs = 0L; var extNs = 0L
       var i = 0
       while (i < html.length) {
         val b = html(i)
+        val td = System.nanoTime()
+        Html5Tokenizer.decodeOnly(b)
         val t0 = System.nanoTime()
         val toks = Html5Tokenizer.tokenize(b)
         val t1 = System.nanoTime()
         Dom.blocks(toks)
         val t2 = System.nanoTime()
+        Dom.blocksStreaming(b)
+        val t25 = System.nanoTime()
         Extractor.extract(b, ExtractMode.Plain)
         val t3 = System.nanoTime()
-        tokNs += t1 - t0; blkNs += t2 - t1; extNs += t3 - t2
+        decNs += t0 - td; tokNs += t1 - t0; blkNs += t2 - t1
+        fusedNs += t25 - t2; extNs += t3 - t25
         i += 1
       }
       val a1 = graft.util.HwCalib.calibrate(1)
-      Rep(tokNs, blkNs, extNs, (a0 + a1) / 2)
+      Rep(decNs, tokNs, blkNs, fusedNs, extNs, (a0 + a1) / 2)
     }
     val n = html.length
     def row(name: String, f: Rep => Long): Unit = {
@@ -58,8 +64,13 @@ object DiagPhase {
       println(f"$name%-22s avg_us=$us%8.2f  anchor_ops_per_doc=$anch%8.1f")
     }
     println(s"html docs: $n")
+    row("decode only", _.decNs)
     row("tokenize", _.tokNs)
     row("dom_blocks (excl tok)", _.blkNs)
+    row("fused bytes->blocks", _.fusedNs)
     row("extract full", _.extNs)
+    // drift-immune A/B: fused vs (tokenize + replay) within the same rep
+    val ratio = med(repRows.map(r => r.fusedNs.toDouble / (r.tokNs + r.blkNs)))
+    println(f"fused/(tok+blocks) time ratio = $ratio%.3f  (lower is better)")
   }
 }

@@ -85,7 +85,7 @@ object Extractor {
   }
 
   private def extractHtml(bytes: Array[Byte], mode: ExtractMode): ExtractResult = {
-    val blocks = Dom.blocks(Html5Tokenizer.tokenize(bytes))
+    val blocks = Dom.blocksStreaming(bytes) // fused: no token list (DiagPhase)
     // mode-specific selection predicate (density gate unless the user
     // pointed at a region — reference '[red] OCR:' / box prompts)
     val select: Block => Boolean = mode match {

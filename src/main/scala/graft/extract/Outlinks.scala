@@ -77,34 +77,39 @@ object Outlinks {
     * concatenated entity-decoded text between `<a>` and its `</a>`
     * (nested inline tags contribute their text; a nested `<a>` — invalid
     * HTML the crawl serves anyway — closes the previous anchor, the HTML5
-    * "in body" behavior). */
+    * "in body" behavior). Streams tokenizer events — no token list is
+    * materialized (same fused shape as the extraction kernel). */
   def extract(bytes: Array[Byte], pageUrl: String): Seq[Link] = {
     if (Extractor.payloadKind(bytes) != "html") return Nil
     val baseHost = host(pageUrl)
     val out = ArrayBuffer.empty[Link]
-    var href: String = null
-    val anchor = new java.lang.StringBuilder
-    def close(): Unit = {
-      if (href != null) {
-        val target = resolveHost(href, baseHost)
-        if (target.nonEmpty)
-          out += Link(href, target, anchor.toString.trim,
-            external = target != baseHost)
-        href = null
-        anchor.setLength(0)
+    val sink = new Html5Tokenizer.TokenSink {
+      private var href: String = null
+      private val anchor = new java.lang.StringBuilder
+      def close(): Unit = {
+        if (href != null) {
+          val target = resolveHost(href, baseHost)
+          if (target.nonEmpty)
+            out += Link(href, target, anchor.toString.trim,
+              external = target != baseHost)
+          href = null
+          anchor.setLength(0)
+        }
       }
-    }
-    val toks: Seq[HtmlToken] = Html5Tokenizer.tokenize(bytes)
-    toks.foreach {
-      case t: TagOpen if t.name == "a" =>
+      def tagOpen(t: TagOpen): Unit = if (t.name == "a") {
         close() // implicit close of an unterminated anchor
         val h = t.attrOrEmpty("href")
         if (h.nonEmpty) { href = h; anchor.setLength(0) }
-      case TagClose("a", _, _) => close()
-      case tr: TextRun if href != null => anchor.append(tr.text)
-      case _ => ()
+      }
+      def tagClose(name: String, startByte: Int, endByte: Int): Unit =
+        if (name == "a") close()
+      def text(buf: CharSequence, startByte: Int, endByte: Int): Unit =
+        if (href != null) anchor.append(buf)
+      def comment(chars: Array[Char], from: Int, len: Int, sb: Int, eb: Int): Unit = ()
+      def doctype(chars: Array[Char], from: Int, len: Int, sb: Int, eb: Int): Unit = ()
     }
-    close() // EOF closes an open anchor (lenient on truncated payloads)
+    Html5Tokenizer.stream(bytes, sink)
+    sink.close() // EOF closes an open anchor (lenient on truncated payloads)
     out.toSeq
   }
 }

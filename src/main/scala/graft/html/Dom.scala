@@ -83,38 +83,68 @@ object Dom {
     b.substring(0, end)
   }
 
+  /** Replay a materialized token list into the block builder — kept for
+    * tests and callers that already hold tokens; the extraction kernel
+    * uses the fused `blocksStreaming` (no token list, one pass). Both
+    * paths share ONE builder (`BlockSink`), so they cannot diverge. */
   def blocks(tokens: scala.collection.IndexedSeq[HtmlToken]): Vector[Block] = {
-    val out = new ArrayBuffer[Block]
+    val sink = new BlockSink
+    var ti = 0
+    val tn = tokens.length
+    while (ti < tn) {
+      tokens(ti) match {
+        case t: TagOpen  => sink.tagOpen(t)
+        case t: TagClose => sink.tagClose(t.name, t.startByte, t.endByte)
+        case t: TextRun  => sink.text(t.text, t.startByte, t.endByte)
+        case _           => () // comments, doctype
+      }
+      ti += 1
+    }
+    sink.result()
+  }
 
-    var suppressDepth = 0
-    var boilerDepth = 0
-    var linkDepth = 0
-    val stack = new ArrayBuffer[String]
+  /** Fused path: bytes → blocks in one scan, no token materialization
+    * (the per-doc token array, TextRun strings and comment bodies were
+    * ~40% of html kernel cost — DiagPhase). */
+  def blocksStreaming(bytes: Array[Byte]): Vector[Block] = {
+    val sink = new BlockSink
+    Html5Tokenizer.stream(bytes, sink)
+    sink.result()
+  }
+
+  /** The single block-building state machine, fed by tokenizer events. */
+  final class BlockSink extends Html5Tokenizer.TokenSink {
+    private val out = new ArrayBuffer[Block]
+
+    private var suppressDepth = 0
+    private var boilerDepth = 0
+    private var linkDepth = 0
+    private val stack = new ArrayBuffer[String]
 
     // current block accumulation
-    var curKind = "body"
-    var curCls = ""
-    var curStyle = ""
-    var curElemStart = 0L
-    var curElemEnd = 0L
-    val curText = new StringBuilder
-    var curLink = 0
-    var spanStart = -1L
-    var spanEnd = -1L
-    var curPre = false
+    private var curKind = "body"
+    private var curCls = ""
+    private var curStyle = ""
+    private var curElemStart = 0L
+    private var curElemEnd = 0L
+    private val curText = new java.lang.StringBuilder
+    private var curLink = 0
+    private var spanStart = -1L
+    private var spanEnd = -1L
+    private var curPre = false
 
     // table accumulation
-    var tableDepth = 0
-    var tblCls = ""
-    var tblElemStart = 0L
-    val tblRows = new ArrayBuffer[Vector[String]]
-    val tblRow = new ArrayBuffer[String]
-    val tblCell = new StringBuilder
-    var inCell = false
-    var tblSpanStart = -1L
-    var tblSpanEnd = -1L
+    private var tableDepth = 0
+    private var tblCls = ""
+    private var tblElemStart = 0L
+    private val tblRows = new ArrayBuffer[Vector[String]]
+    private val tblRow = new ArrayBuffer[String]
+    private val tblCell = new java.lang.StringBuilder
+    private var inCell = false
+    private var tblSpanStart = -1L
+    private var tblSpanEnd = -1L
 
-    def flush(elemEnd: Long): Unit = {
+    private def flush(elemEnd: Long): Unit = {
       val text =
         if (curPre) {
           val raw = curText.toString
@@ -126,16 +156,16 @@ object Dom {
           text.length, boilerDepth > 0, spanStart, spanEnd, curElemStart,
           if (elemEnd > 0) elemEnd else spanEnd)
       }
-      curText.clear(); curLink = 0; spanStart = -1L; spanEnd = -1L
+      curText.setLength(0); curLink = 0; spanStart = -1L; spanEnd = -1L
     }
 
-    def startBlock(kind: String, cls: String, style: String, elemStart: Long): Unit = {
+    private def startBlock(kind: String, cls: String, style: String, elemStart: Long): Unit = {
       curKind = kind; curCls = cls; curStyle = style
       curElemStart = elemStart; curElemEnd = 0L
       curPre = kind == "pre"
     }
 
-    def hasNonWs(s: String): Boolean = {
+    private def hasNonWs(s: CharSequence): Boolean = {
       var i = 0
       while (i < s.length) {
         val c = s.charAt(i)
@@ -145,10 +175,10 @@ object Dom {
       false
     }
 
-    var ti = 0
-    val tn = tokens.length
-    while (ti < tn) { tokens(ti) match {
-      case t: TagOpen =>
+    def comment(chars: Array[Char], from: Int, len: Int, startByte: Int, endByte: Int): Unit = ()
+    def doctype(chars: Array[Char], from: Int, len: Int, startByte: Int, endByte: Int): Unit = ()
+
+    def tagOpen(t: TagOpen): Unit = {
         val name = t.name
         if (suppressTags.contains(name)) {
           if (!t.selfClosing && !Html5Tokenizer.voidElements.contains(name)) suppressDepth += 1
@@ -158,7 +188,7 @@ object Dom {
               flush(0L)
               tblCls = t.attrOrEmpty("class")
               tblElemStart = t.startByte.toLong
-              tblRows.clear(); tblRow.clear(); tblCell.clear(); inCell = false
+              tblRows.clear(); tblRow.clear(); tblCell.setLength(0); inCell = false
               tblSpanStart = -1L; tblSpanEnd = -1L
             }
             tableDepth += 1
@@ -168,7 +198,7 @@ object Dom {
             // its text folds into the enclosing cell (layout-table
             // nesting is ubiquitous in real crawl HTML)
             name match {
-              case "td" | "th" if tableDepth == 1 => inCell = true; tblCell.clear()
+              case "td" | "th" if tableDepth == 1 => inCell = true; tblCell.setLength(0)
               case "tr" if tableDepth == 1        => tblRow.clear()
               case "br"                           => if (inCell) tblCell.append(' ')
               case _                              => ()
@@ -187,8 +217,9 @@ object Dom {
           }
           // other inline tags (b, i, em, span, code, …) are transparent
         }
-      case t: TagClose =>
-        val name = t.name
+    }
+
+    def tagClose(name: String, startByte: Int, endByte: Int): Unit = {
         if (suppressTags.contains(name)) {
           if (suppressDepth > 0) suppressDepth -= 1
         } else if (suppressDepth == 0) {
@@ -201,9 +232,9 @@ object Dom {
                 val text = rows.map(_.mkString(" ")).mkString("\n")
                 val total = text.length
                 out += Block("table", text, rows, tblCls, "", 0, total, boilerDepth > 0,
-                  tblSpanStart, tblSpanEnd, tblElemStart, t.endByte.toLong)
+                  tblSpanStart, tblSpanEnd, tblElemStart, endByte.toLong)
               }
-              startBlock(if (stack.nonEmpty) stack.last else "body", "", "", t.endByte.toLong)
+              startBlock(if (stack.nonEmpty) stack.last else "body", "", "", endByte.toLong)
             }
           } else if (tableDepth > 0) {
             name match {
@@ -216,35 +247,39 @@ object Dom {
           } else if (name == "a") {
             if (linkDepth > 0) linkDepth -= 1
           } else if (blockTags.contains(name)) {
-            flush(t.endByte.toLong)
+            flush(endByte.toLong)
             if (boilerContainers.contains(name) && boilerDepth > 0) boilerDepth -= 1
             val idx = stack.lastIndexOf(name)
             if (idx >= 0) stack.remove(idx, stack.length - idx)
-            startBlock(if (stack.nonEmpty) stack.last else "body", "", "", t.endByte.toLong)
+            startBlock(if (stack.nonEmpty) stack.last else "body", "", "", endByte.toLong)
           }
         }
-      case t: TextRun =>
+    }
+
+    def text(cs: CharSequence, startByte: Int, endByte: Int): Unit = {
         if (suppressDepth == 0) {
           if (tableDepth > 0) {
             if (inCell) {
-              tblCell.append(t.text)
-              if (hasNonWs(t.text)) {
-                if (tblSpanStart < 0) tblSpanStart = t.startByte.toLong
-                tblSpanEnd = t.endByte.toLong
+              tblCell.append(cs)
+              if (hasNonWs(cs)) {
+                if (tblSpanStart < 0) tblSpanStart = startByte.toLong
+                tblSpanEnd = endByte.toLong
               }
             }
           } else {
-            curText.append(t.text)
-            if (linkDepth > 0) curLink += t.text.length
-            if (hasNonWs(t.text)) {
-              if (spanStart < 0) spanStart = t.startByte.toLong
-              spanEnd = t.endByte.toLong
+            curText.append(cs)
+            if (linkDepth > 0) curLink += cs.length
+            if (hasNonWs(cs)) {
+              if (spanStart < 0) spanStart = startByte.toLong
+              spanEnd = endByte.toLong
             }
           }
         }
-      case _ => () // comments, doctype
-    }; ti += 1 }
-    flush(0L)
-    out.toVector
+    }
+
+    def result(): Vector[Block] = {
+      flush(0L)
+      out.toVector
+    }
   }
 }

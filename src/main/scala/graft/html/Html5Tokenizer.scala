@@ -169,13 +169,55 @@ object Html5Tokenizer {
     tokenizeDecoded(d)
   }
 
+  /** Diagnostic hook (DiagPhase): charset-sniff + decode only, no token
+    * scan — isolates the decode loop's share of tokenizer cost. */
+  private[graft] def decodeOnly(bytes: Array[Byte]): Decoded =
+    decodeImpl(bytes, sniffCharset(bytes), reuse = true)
+
+  /** Streaming consumer of the token scan — the fused path (Dom builds
+    * blocks directly from these events with no token materialization;
+    * DiagPhase measured the token list + replay at ~2x the event cost).
+    *
+    * Contract: `text`'s `buf` is a REUSED buffer, valid only during the
+    * call — copy (append) immediately, never retain. `comment`/`doctype`
+    * pass a raw char range for the same reason. Event order and text-run
+    * batching are IDENTICAL to the token list `tokenize` returns — the
+    * builder adapter below is the proof (it reconstructs exactly the old
+    * output), and the goldens pin both paths byte-for-byte. */
+  trait TokenSink {
+    def tagOpen(t: TagOpen): Unit
+    def tagClose(name: String, startByte: Int, endByte: Int): Unit
+    def text(buf: CharSequence, startByte: Int, endByte: Int): Unit
+    def comment(chars: Array[Char], from: Int, len: Int, startByte: Int, endByte: Int): Unit
+    def doctype(chars: Array[Char], from: Int, len: Int, startByte: Int, endByte: Int): Unit
+  }
+
+  /** Tokenize straight into a sink — decode + single scan, no token list. */
+  def stream(bytes: Array[Byte], sink: TokenSink): Unit =
+    streamDecoded(decodeImpl(bytes, sniffCharset(bytes), reuse = true), sink)
+
   def tokenizeDecoded(d: Decoded): scala.collection.immutable.ArraySeq[HtmlToken] = {
+    val out = Array.newBuilder[HtmlToken]
+    streamDecoded(d, new TokenSink {
+      def tagOpen(t: TagOpen): Unit = out += t
+      def tagClose(name: String, startByte: Int, endByte: Int): Unit =
+        out += TagClose(name, startByte, endByte)
+      def text(buf: CharSequence, startByte: Int, endByte: Int): Unit =
+        out += TextRun(buf.toString, startByte, endByte)
+      def comment(chars: Array[Char], from: Int, len: Int, startByte: Int, endByte: Int): Unit =
+        out += CommentTok(new String(chars, from, len), startByte, endByte)
+      def doctype(chars: Array[Char], from: Int, len: Int, startByte: Int, endByte: Int): Unit =
+        out += DoctypeTok(new String(chars, from, len), startByte, endByte)
+    })
+    scala.collection.immutable.ArraySeq.unsafeWrapArray(out.result())
+  }
+
+  def streamDecoded(d: Decoded, sink: TokenSink): Unit = {
     val s = d.chars
     val identity = d.identityOffs
     val bo = d.byteOff
     @inline def off(i: Int): Int = if (identity) i else bo(i)
     val n = d.nChars
-    val out = Array.newBuilder[HtmlToken]
 
     // pending text accumulation
     val text = new java.lang.StringBuilder
@@ -183,7 +225,7 @@ object Html5Tokenizer {
     var textEnd = -1   // char index AFTER the last consumed char
     @inline def flushText(): Unit = {
       if (text.length > 0) {
-        out += TextRun(text.toString, off(textStart), off(textEnd))
+        sink.text(text, off(textStart), off(textEnd))
         text.setLength(0)
       }
       textStart = -1; textEnd = -1
@@ -255,7 +297,7 @@ object Html5Tokenizer {
           var k = found + closeLit.length
           while (k < n && s(k) != '>') k += 1
           val endByteIdx = if (k < n) k + 1 else n
-          out += TagClose(rawMode, off(found), off(endByteIdx))
+          sink.tagClose(rawMode, off(found), off(endByteIdx))
           i = endByteIdx
         } else i = n
         rawMode = null; rcdataMode = false
@@ -270,20 +312,27 @@ object Html5Tokenizer {
               if (lowerAt(i, "<!--")) {
                 val close = indexOfLit(s, i + 4, n, "-->")
                 val end = if (close >= 0) close + 3 else n
-                val body = new String(s, i + 4, math.max(0, (if (close >= 0) close else n) - (i + 4)))
-                out += CommentTok(body, off(i), off(end))
+                sink.comment(s, i + 4, math.max(0, (if (close >= 0) close else n) - (i + 4)),
+                  off(i), off(end))
                 i = end
               } else if (lowerAt(i, "<![cdata[")) {
                 val close = indexOfLit(s, i + 9, n, "]]>")
                 val end = if (close >= 0) close + 3 else n
-                val body = new String(s, i + 9, math.max(0, (if (close >= 0) close else n) - (i + 9)))
-                addText(body, i, end); flushText()
+                // body appended straight from the decode buffer (flushText
+                // emits the run [i, end) exactly as the String form did)
+                val bodyLen = math.max(0, (if (close >= 0) close else n) - (i + 9))
+                if (bodyLen > 0) {
+                  if (text.length == 0) textStart = i
+                  text.append(s, i + 9, bodyLen)
+                  textEnd = end
+                }
+                flushText()
                 i = end
               } else { // doctype or bogus decl
                 var j = i + 2
                 while (j < n && s(j) != '>') j += 1
                 val end = if (j < n) j + 1 else n
-                out += DoctypeTok(new String(s, i + 2, math.max(0, j - (i + 2))), off(i), off(end))
+                sink.doctype(s, i + 2, math.max(0, j - (i + 2)), off(i), off(end))
                 i = end
               }
             } else if (c1 == '?') { // bogus comment (processing instruction)
@@ -291,7 +340,7 @@ object Html5Tokenizer {
               var j = i + 2
               while (j < n && s(j) != '>') j += 1
               val end = if (j < n) j + 1 else n
-              out += CommentTok(new String(s, i + 2, math.max(0, j - (i + 2))), off(i), off(end))
+              sink.comment(s, i + 2, math.max(0, j - (i + 2)), off(i), off(end))
               i = end
             } else if (c1 == '/') {
               if (i + 2 < n && Character.isLetter(s(i + 2))) {
@@ -302,13 +351,13 @@ object Html5Tokenizer {
                 var ne = i + 2
                 while (ne < j && !Character.isWhitespace(s(ne))) ne += 1
                 val name = lowerString(s, i + 2, math.max(0, ne - (i + 2)))
-                out += TagClose(name, off(i), off(end))
+                sink.tagClose(name, off(i), off(end))
                 i = end
               } else { addText("<", i, i + 1); i += 1 } // "</3" is text
             } else if (Character.isLetter(c1)) {
               flushText()
               val (tok, next) = parseStartTag(s, d, n, i)
-              out += tok
+              sink.tagOpen(tok)
               i = next
               if (!tok.selfClosing) {
                 if (rawText.contains(tok.name)) { rawMode = tok.name; rcdataMode = false }
@@ -330,7 +379,6 @@ object Html5Tokenizer {
       }
     }
     flushText()
-    scala.collection.immutable.ArraySeq.unsafeWrapArray(out.result())
   }
 
   /** ASCII-lowercased string from a char range — the HTML5 tag/attr name
