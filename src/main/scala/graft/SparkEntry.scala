@@ -586,6 +586,34 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    "q31_url_canonical" -> ((s, dir) => {
+      // URL canonicalization (crawl-dedup key, functions/UrlCanon.scala):
+      // three cosmetic variants of every doc's URL (tracking params +
+      // fragment; uppercase scheme/host + default port; extra utm params,
+      // different order) must collapse 3:1 per doc. Pure map-side Catalyst
+      // expressions — no UDF, stays in whole-stage codegen; the only
+      // shuffle is the audit aggregate.
+      val d = t(s, dir, "documents").select(col("doc_id"), (col("doc_id") % 20).as("site"))
+      val id = col("doc_id").cast("string")
+      val site = col("site").cast("string")
+      def u(parts: Column*): Column = concat(parts: _*)
+      val v1 = u(lit("https://www.site"), site, lit(".example.com/p/"), id,
+        lit("?b=2&utm_source=feed&a=1#frag"))
+      val v2 = u(lit("HTTPS://Site"), site, lit(".EXAMPLE.com:443/p/"), id,
+        lit("?a=1&b=2"))
+      val v3 = u(lit("https://site"), site, lit(".example.com/p/"), id,
+        lit("?utm_campaign=x&a=1&b=2&utm_medium=y"))
+      val raw = d.select(col("site"), v1.as("url"))
+        .unionByName(d.select(col("site"), v2.as("url")))
+        .unionByName(d.select(col("site"), v3.as("url")))
+      raw.select(col("site"), graft.functions.UrlCanon.canonical(col("url")).as("canon"))
+        .groupBy(col("site"))
+        .agg(count(lit(1)).as("n_raw"),
+          countDistinct(col("canon")).as("n_canonical"),
+          min(col("canon")).as("sample_canonical"))
+        .orderBy("site")
+    }),
+
     // ---- extraction pipeline (rows-only: not SQL-expressible) ----
     "x01_extract_plain" -> ((s, _) => {
       val (pagesDir, _) = microTables(s)
@@ -735,6 +763,24 @@ object SparkEntry {
         .groupBy(col("src_host"), col("dst_host"), col("external"))
         .agg(count(lit(1)).as("n_links"))
         .orderBy("src_host", "dst_host")
+    }),
+    "x23_host_pagerank" -> ((s, _) => {
+      // PageRank over the x22 host link graph (crawl-quality prior):
+      // one shuffle per power iteration, quantized contribution sums so
+      // ranks are bit-identical under any partitioning (HostRank).
+      import s.implicits._
+      val (pagesDir, _) = microTables(s)
+      val edges = IceLite.read(s, pagesDir).select(col("url"), col("html"))
+        .as[(String, Array[Byte])]
+        .flatMap { case (url, bytes) =>
+          val src = graft.extract.Outlinks.host(url)
+          graft.extract.Outlinks.extract(bytes, url).map(l => (src, l.targetHost))
+        }
+        .toDF("src", "dst")
+        .groupBy("src", "dst").agg(count(lit(1)).cast("double").as("weight"))
+      graft.functions.HostRank.pageRank(edges)
+        .select(col("host"), floor(col("rank") * 1e9).cast("long").as("rank_x1e9"))
+        .orderBy(desc("rank_x1e9"), col("host"))
     }),
     "x11_multimodal_features" -> ((s, _) =>
       graft.functions.Multimodal.featureStats(s, 2000L)),
@@ -1258,5 +1304,41 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
         |  CAST(sum(CASE WHEN keep THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
         |FROM k GROUP BY lang ORDER BY lang""".stripMargin,
+    "q31_url_canonical" ->
+      """WITH d AS (SELECT doc_id, doc_id % 20 AS site FROM documents),
+        |raw AS (
+        |  SELECT site, 'https://www.site' || CAST(site AS VARCHAR) || '.example.com/p/'
+        |    || CAST(doc_id AS VARCHAR) || '?b=2&utm_source=feed&a=1#frag' AS url FROM d
+        |  UNION ALL
+        |  SELECT site, 'HTTPS://Site' || CAST(site AS VARCHAR) || '.EXAMPLE.com:443/p/'
+        |    || CAST(doc_id AS VARCHAR) || '?a=1&b=2' FROM d
+        |  UNION ALL
+        |  SELECT site, 'https://site' || CAST(site AS VARCHAR) || '.example.com/p/'
+        |    || CAST(doc_id AS VARCHAR) || '?utm_campaign=x&a=1&b=2&utm_medium=y' FROM d),
+        |c AS (
+        |  SELECT site,
+        |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        |    lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS hostport,
+        |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^#]*)', 1) AS pq
+        |  FROM raw),
+        |c2 AS (
+        |  SELECT site, scheme,
+        |    CASE WHEN scheme = 'https' THEN regexp_replace(regexp_replace(hostport, '^www\.', ''), ':443$', '')
+        |         WHEN scheme = 'http'  THEN regexp_replace(regexp_replace(hostport, '^www\.', ''), ':80$', '')
+        |         ELSE regexp_replace(hostport, '^www\.', '') END AS host,
+        |    split_part(pq, '?', 1) AS path,
+        |    CASE WHEN strpos(pq, '?') > 0 THEN substr(pq, strpos(pq, '?') + 1) ELSE '' END AS query
+        |  FROM c),
+        |c3 AS (
+        |  SELECT site, scheme || '://' || host ||
+        |    CASE WHEN path = '' THEN '/' ELSE path END ||
+        |    CASE WHEN q = '' THEN '' ELSE '?' || q END AS canon
+        |  FROM (SELECT site, scheme, host, path,
+        |    array_to_string(list_sort(list_filter(string_split(query, '&'),
+        |      x -> substr(x, 1, 4) <> 'utm_' AND x <> '')), '&') AS q FROM c2))
+        |SELECT site, count(*) AS n_raw,
+        |  CAST(count(DISTINCT canon) AS BIGINT) AS n_canonical,
+        |  min(canon) AS sample_canonical
+        |FROM c3 GROUP BY site ORDER BY site""".stripMargin,
   )
 }
