@@ -764,6 +764,50 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_links"))
         .orderBy("src_host", "dst_host")
     }),
+    "x24_decontam_bloom" -> ((s, dir) => {
+      // Decontamination, map-only scale path: q28's eval-set gram table
+      // compresses into a BROADCAST Bloom filter and each corpus doc
+      // checks its grams in a map — no explode, no join, no shuffle of
+      // corpus grams AT ALL (the only shuffle is the per-lang audit agg).
+      // FPP errs in the safe direction (may flag extra docs, never
+      // misses contamination); at fpp 1e-6 over this corpus the result
+      // is exactly q28's (DecontamBloomSpec asserts equality). Spark's
+      // sketch BloomFilter is seed-fixed — deterministic across runs.
+      import s.implicits._
+      val d = t(s, dir, "documents")
+      val corpus = d.filter(col("doc_id") % 101 =!= 0)
+        .select(col("doc_id").cast("long").as("doc_id"), col("lang"), col("text"))
+        .unionByName(d.filter(col("doc_id") % 101 === 0)
+          .select((col("doc_id") + 500000L).as("doc_id"), lit("planted").as("lang"),
+            substring(col("text"), 1, 120).as("text")))
+      val toksCol = split(col("text"), " ")
+      val gramsCol = transform(sequence(lit(1), size(toksCol) - 4),
+        i => concat_ws(" ", slice(toksCol, i, lit(5))))
+      val benchGrams = d
+        .filter(col("doc_id") % 101 === 0 && size(split(col("text"), " ")) >= 5)
+        .select(explode(array_distinct(gramsCol)).as("g")).distinct()
+      val bf = benchGrams.stat.bloomFilter("g", 200000L, 1e-6)
+      val bc = s.sparkContext.broadcast(bf)
+      corpus.as[(Long, String, String)].map { case (_, lang, text) =>
+        val toks = text.split(" ")
+        var n = 0L
+        if (toks.length >= 5) {
+          val seen = scala.collection.mutable.HashSet.empty[String]
+          var i = 0
+          while (i + 5 <= toks.length) {
+            val g = toks.slice(i, i + 5).mkString(" ")
+            if (seen.add(g) && bc.value.mightContain(g)) n += 1
+            i += 1
+          }
+        }
+        (lang, n)
+      }.toDF("lang", "n_overlap")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("n_overlap") >= 3, 1L).otherwise(0L)).as("n_contaminated"),
+          sum(col("n_overlap")).as("sum_overlap"))
+        .orderBy("lang")
+    }),
     "x23_host_pagerank" -> ((s, _) => {
       // PageRank over the x22 host link graph (crawl-quality prior):
       // one shuffle per power iteration, quantized contribution sums so

@@ -27,8 +27,11 @@ object HostRank {
   final val Q = 1e9
 
   /** edges: (src, dst, weight) host-level multi-edge list. Returns
-    * (host, rank) with sum(rank) ~= 1. */
-  def pageRank(edges: DataFrame, iters: Int = 10, damping: Double = 0.85): DataFrame = {
+    * (host, rank) with sum(rank) ~= 1. `truncateFinal = false` keeps the
+    * last iteration's full lineage (ExplainAll publishes the one-hop
+    * plan as a reviewable artifact; a checkpoint would hide it). */
+  def pageRank(edges: DataFrame, iters: Int = 10, damping: Double = 0.85,
+      truncateFinal: Boolean = true): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
     val e = edges.select(col("src").cast("string").as("src"),
@@ -64,7 +67,8 @@ object HostRank {
         .select(col("host"),
           (lit(base) + lit(damping) *
             (coalesce(col("inflow_q"), lit(0L)) / Q + lit(danglingQ / Q / n))).as("rank"))
-      val truncate = it % 4 == 3 || it == iters - 1
+      val truncate = (it % 4 == 3 || it == iters - 1) &&
+        (truncateFinal || it != iters - 1)
       val next = if (truncate) nextRaw.localCheckpoint(true)
         else { val p = nextRaw.persist(); p.count(); p }
       if (prev != null) { prev.unpersist(); prev = null }
