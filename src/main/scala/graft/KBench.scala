@@ -15,6 +15,12 @@ import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, Data
   */
 object KBench {
   def main(args: Array[String]): Unit = args(0) match {
+    case "bw" =>
+      // sanity probe for the DRAM-bandwidth ceiling calibration
+      Seq(1, 8, 32).foreach { t =>
+        val b = graft.util.HwCalib.calibrateBandwidth(t)
+        println(f"bw threads=$t%2d  ${b / 1e9}%8.2f GB/s")
+      }
     case "gen" =>
       val out = new DataOutputStream(new BufferedOutputStream(new FileOutputStream(args(1)), 1 << 20))
       val n = args(2).toLong

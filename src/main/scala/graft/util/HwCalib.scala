@@ -46,4 +46,52 @@ object HwCalib {
   /** Best-of-3 throughput at `threads`. */
   def calibrate(threads: Int): Double =
     (1 to 3).map(_ => throughput(threads)).max
+
+  // ------------------------------------------------- DRAM bandwidth
+
+  /** Shared read buffer for the bandwidth probe (256 MiB of longs —
+    * far beyond LLC, so sustained reads hit DRAM). Allocated once. */
+  private lazy val bwBuf: Array[Long] = {
+    val a = new Array[Long](32 << 20)
+    var i = 0
+    while (i < a.length) { a(i) = i * 0x9e3779b97f4a7c15L; i += 1 }
+    a
+  }
+
+  /** Aggregate DRAM read bandwidth (bytes/sec) with `threads` streaming
+    * readers over disjoint slices. The extraction kernel and the
+    * classify→aggregate stage are memory-bound at high thread counts;
+    * the xxh64 calibration (L1-resident, compute-bound) scales almost
+    * linearly with cores and therefore UNDER-corrects for the DRAM
+    * ceiling a single socket shares. The 8→32 ratio of THIS probe is the
+    * bandwidth ceiling — the honest upper bound for memory-bound stages
+    * at local[32]; a real N→4N EXECUTOR comparison has disjoint DRAM per
+    * machine and does not see it. */
+  def bandwidth(threads: Int, passes: Int = 4): Double = {
+    val buf = bwBuf
+    val slice = buf.length / threads
+    val sink = new AtomicLong(0L)
+    val t0 = System.nanoTime()
+    val ts = (0 until threads).map { k =>
+      val t = new Thread(() => {
+        var acc = 0L
+        var p = 0
+        while (p < passes) {
+          var i = k * slice
+          val end = i + slice
+          while (i < end) { acc += buf(i); i += 1 }
+          p += 1
+        }
+        sink.addAndGet(acc)
+      })
+      t.setDaemon(true); t.start(); t
+    }
+    ts.foreach(_.join())
+    val sec = (System.nanoTime() - t0) / 1e9
+    (slice.toLong * threads * passes * 8L) / sec
+  }
+
+  /** Best-of-3 bandwidth at `threads`. */
+  def calibrateBandwidth(threads: Int): Double =
+    (1 to 3).map(_ => bandwidth(threads)).max
 }
