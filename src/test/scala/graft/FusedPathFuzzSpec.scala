@@ -1,0 +1,70 @@
+package graft
+
+import graft.extract.{ExtractMode, Extractor}
+import graft.html.{Dom, Html5Tokenizer}
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.charset.StandardCharsets.UTF_8
+
+/** The fused path (bytes → BlockSink via TokenSink events) and the
+  * token-list path (tokenize → ArraySeq → replay) share one state
+  * machine, but the EVENT STREAM itself could diverge from the token
+  * list (run batching, CDATA direct-append, comment ranges, EOF
+  * flushes). This fuzzes seeded hostile token soup through both and
+  * demands identical blocks — and identical kernel extraction output.
+  * Seed-fixed: failures reproduce exactly. */
+class FusedPathFuzzSpec extends AnyFunSuite {
+
+  private val tagPool = Array("p", "div", "a", "b", "table", "tr", "td",
+    "script", "style", "pre", "li", "ul", "nav", "h2", "br", "textarea", "x-odd")
+  private val atoms = Array("&amp;", "&#65;", "&bogus;", "&", "<", ">", "<!",
+    "<!--", "-->", "<!-- c -->", "<![CDATA[z]]>", "<![CDATA[broken", "<?pi?>",
+    "<!doctype html>", " ", "\n", "é中", "</", "<3", "", "word", "x y z")
+
+  private def soup(r: scala.util.Random): String = {
+    val n = r.nextInt(40)
+    val sb = new StringBuilder
+    (0 until n).foreach { _ =>
+      r.nextInt(6) match {
+        case 0 => sb.append('<').append(tagPool(r.nextInt(tagPool.length))).append('>')
+        case 1 => sb.append("</").append(tagPool(r.nextInt(tagPool.length))).append('>')
+        case 2 => sb.append('<').append(tagPool(r.nextInt(tagPool.length)))
+          .append(" class='c&amp;1' href=/x>")
+        case 3 => sb.append(atoms(r.nextInt(atoms.length)))
+        case 4 => (0 until 3).foreach(_ => sb.append(r.nextInt(256).toChar))
+        case _ => sb.append(r.alphanumeric.take(r.nextInt(12)).mkString)
+      }
+    }
+    sb.toString
+  }
+
+  test("streaming and token-replay block lists are identical on token soup") {
+    val r = new scala.util.Random(0xf05edL)
+    (0 until 500).foreach { i =>
+      val s = soup(r)
+      val bytes = s.getBytes(UTF_8)
+      val viaTokens = Dom.blocks(Html5Tokenizer.tokenize(bytes))
+      val viaStream = Dom.blocksStreaming(bytes)
+      assert(viaStream == viaTokens, s"iter $i diverged on: ${s.take(200)}")
+    }
+  }
+
+  test("kernel extraction equals the reconstructed token-list pipeline on soup") {
+    val r = new scala.util.Random(0xbeef1L)
+    (0 until 300).foreach { i =>
+      val s = soup(r)
+      val bytes = s.getBytes(UTF_8)
+      Extractor.extract(bytes, ExtractMode.Plain) match {
+        case Right(res) =>
+          val blocks = Dom.blocks(Html5Tokenizer.tokenize(bytes))
+          val kept = blocks.filter(graft.classify.BlockClassifier.keep)
+          val seen = scala.collection.mutable.HashSet.empty[String]
+          val expected = kept
+            .filter(b => b.words < Extractor.NoRepeatWords || seen.add(b.text))
+            .map(_.text).mkString("\n")
+          assert(res.text == expected.take(Extractor.MaxOutChars),
+            s"iter $i extraction diverged on: ${s.take(200)}")
+        case Left(_) => // binary-sniffed soup: both paths quarantine alike
+      }
+    }
+  }
+}
