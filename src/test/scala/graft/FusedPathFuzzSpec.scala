@@ -48,6 +48,26 @@ class FusedPathFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("pdf-soup payloads never throw and never escape the Either contract") {
+    val r = new scala.util.Random(0x9dfL)
+    val pdfAtoms = Array("BT", "ET", "Tj", "TJ", "Td", "TD", "Tm", "T*", "TL",
+      "(text)", "(unbalanced", "<</Length 9>>", "stream", "endstream", "obj",
+      "endobj", "0 0", "1.5 -2.25", "[(a)(b)]", "/F1 12 Tf", "%comment\n",
+      "\\)", "()", "xref", "trailer", "4e3")
+    (0 until 400).foreach { i =>
+      val sb = new StringBuilder("%PDF-1.4\n")
+      (0 until r.nextInt(60)).foreach { _ =>
+        if (r.nextInt(5) == 0) sb.append(r.nextInt(256).toChar)
+        else { sb.append(pdfAtoms(r.nextInt(pdfAtoms.length))); sb.append(' ') }
+      }
+      val res = Extractor.extract(sb.toString.getBytes(UTF_8), ExtractMode.Plain)
+      res match {
+        case Right(out) => assert(out.text != null && out.text.length <= Extractor.MaxOutChars)
+        case Left(reason) => assert(reason.nonEmpty, s"iter $i empty quarantine reason")
+      }
+    }
+  }
+
   test("kernel extraction equals the reconstructed token-list pipeline on soup") {
     val r = new scala.util.Random(0xbeef1L)
     (0 until 300).foreach { i =>
