@@ -381,14 +381,80 @@ object Html5Tokenizer {
     flushText()
   }
 
+  /** Pre-seeded intern table for tag/attribute names: the ~80 names that
+    * cover essentially every tag and attr a crawl serves. Hits return the
+    * SAME String instance — no allocation per tag, and (bigger) the
+    * instance's hashCode memoizes, so Dom's Set lookups stop re-hashing a
+    * fresh string per token. The table is FIXED (never installs new
+    * entries), so hostile unique-name floods cannot grow it; misses cost
+    * one probe chain to the first null. */
+  private final val InternMask = 511
+  private val internTable: Array[String] = {
+    val t = new Array[String](InternMask + 1)
+    val names = Seq(
+      // elements
+      "a", "abbr", "address", "area", "article", "aside", "b", "base",
+      "blockquote", "body", "br", "button", "caption", "code", "col", "dd",
+      "details", "div", "dl", "dt", "em", "embed", "fieldset", "figcaption",
+      "figure", "footer", "form", "h1", "h2", "h3", "h4", "h5", "h6", "head",
+      "header", "hr", "html", "i", "iframe", "img", "input", "label",
+      "legend", "li", "link", "main", "meta", "nav", "noscript", "object",
+      "ol", "option", "p", "param", "pre", "script", "section", "select",
+      "small", "source", "span", "strong", "style", "summary", "sup",
+      "svg", "table", "tbody", "td", "template", "textarea", "tfoot", "th",
+      "thead", "time", "title", "tr", "track", "u", "ul", "wbr",
+      // attributes
+      "class", "id", "href", "src", "style", "rel", "type", "name",
+      "content", "charset", "alt", "title", "width", "height", "lang",
+      "target", "value", "role", "data-src")
+    names.foreach { n =>
+      var slot = internHash(n) & InternMask
+      var placed = false
+      while (!placed) {
+        if (t(slot) == null) { t(slot) = n; placed = true }
+        else if (t(slot) == n) placed = true // dup seed (style, title)
+        else slot = (slot + 1) & InternMask
+      }
+    }
+    t
+  }
+  @inline private def internHash(s: String): Int = {
+    var h = 5381; var i = 0
+    while (i < s.length) { h = h * 33 + s.charAt(i); i += 1 }
+    h
+  }
+
   /** ASCII-lowercased string from a char range — the HTML5 tag/attr name
-    * rule (ASCII case-insensitivity only); allocation-free when already
-    * lowercase would still need the String, so single pass either way. */
+    * rule (ASCII case-insensitivity only). Common names come from the
+    * intern table (no allocation, memoized hash); the rest allocate as
+    * before. */
   private def lowerString(a: Array[Char], from: Int, len: Int): String = {
-    var k = 0; var hasUpper = false
+    // single pass: case-folded intern hash + uppercase detection
+    var h = 5381
+    var hasUpper = false
+    var k = 0
     while (k < len) {
-      val c = a(from + k)
-      if (c >= 'A' && c <= 'Z') { hasUpper = true; k = len } else k += 1
+      var c = a(from + k)
+      if (c >= 'A' && c <= 'Z') { hasUpper = true; c = (c + 32).toChar }
+      h = h * 33 + c
+      k += 1
+    }
+    var slot = h & InternMask
+    var entry = internTable(slot)
+    while (entry != null) {
+      if (entry.length == len) {
+        var j = 0
+        var eq = true
+        while (eq && j < len) {
+          var c = a(from + j)
+          if (c >= 'A' && c <= 'Z') c = (c + 32).toChar
+          if (c != entry.charAt(j)) eq = false
+          j += 1
+        }
+        if (eq) return entry
+      }
+      slot = (slot + 1) & InternMask
+      entry = internTable(slot)
     }
     if (!hasUpper) new String(a, from, len)
     else {
