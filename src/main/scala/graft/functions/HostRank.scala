@@ -48,6 +48,14 @@ object HostRank {
     val nodes = e.select(col("src").as("host"))
       .unionByName(e.select(col("dst").as("host"))).distinct().persist()
     val n = nodes.count()
+    // loud failure beats Infinity ranks from 1/0 (the IvfIndex seeding
+    // lesson: degenerate inputs must not produce silent garbage) — and
+    // the failure path must release what it pinned
+    if (n == 0) {
+      weighted.unpersist(); nodes.unpersist()
+      throw new IllegalArgumentException(
+        "HostRank.pageRank: empty edge list — no hosts to rank")
+    }
     val base = (1.0 - damping) / n
     val srcs = weighted.select(col("src")).distinct()
     var ranks = nodes.select(col("host"), lit(1.0 / n).as("rank")).localCheckpoint(true)
@@ -77,6 +85,14 @@ object HostRank {
       it += 1
     }
     if (prev != null) prev.unpersist()
+    // release pinned executor storage: with truncateFinal the returned
+    // ranks are checkpoint-materialized and depend on neither; without
+    // it the lineage can recompute them (slower, never wrong). A
+    // long-lived session invoking pageRank repeatedly must not
+    // accumulate pinned node/weight sets (the r2 lshCandidatePairs
+    // lesson).
+    weighted.unpersist()
+    nodes.unpersist()
     ranks
   }
 

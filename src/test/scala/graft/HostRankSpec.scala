@@ -46,6 +46,20 @@ class HostRankSpec extends AnyFunSuite {
     assert(r1 == r7)
   }
 
+  test("empty edge list fails loudly instead of producing Infinity ranks") {
+    import spark.implicits._
+    val empty = spark.emptyDataset[(String, String, Double)].toDF("src", "dst", "weight")
+    intercept[IllegalArgumentException] { HostRank.pageRank(empty).collect() }
+  }
+
+  test("repeated invocations pin no cached plans") {
+    val edges = Seq(("a", "b", 1.0), ("b", "a", 1.0))
+    (1 to 3).foreach(_ => rankDf(edges, 2))
+    // node/weight sets must be explicitly freed per call; rank sets are
+    // localCheckpoint blocks, which the ContextCleaner releases on GC
+    assert(spark.sharedState.cacheManager.isEmpty, "cached plans leaked")
+  }
+
   test("dangling mass is redistributed: ranks still sum to ~1") {
     val edges = Seq(("a", "b", 1.0), ("b", "c", 1.0)) // c dangling
     val r = rankDf(edges, 2)
