@@ -883,6 +883,49 @@ object SparkEntry {
           coalesce(col("bytes_in_open"), lit(0L)).as("bytes_in_open"))
         .orderBy("host")
     }),
+    "x25_stream_dedup" -> ((s, _) => {
+      // streaming cross-batch exact dedup (the q09 batch op as continuous
+      // ingest): fixture is two parquet FILES where the second repeats 20
+      // of the first's payloads; maxFilesPerTrigger=1 makes each file its
+      // own micro-batch, so the duplicate verdicts MUST come from the
+      // state store, not within-batch grouping.
+      import graft.streaming.StreamingExtract
+      val dir = new java.io.File(s"$SynthRoot/dedup_stream_fixture")
+      val nParts = Option(dir.listFiles())
+        .map(_.count(_.getName.endsWith(".parquet"))).getOrElse(0)
+      if (nParts < 2) {
+        import s.implicits._
+        def rows(ids: Seq[Int], urlPrefix: String, tsBase: Int) = ids.map { i =>
+          (s"https://$urlPrefix$i.example.com/p",
+            java.sql.Timestamp.valueOf(f"2024-03-01 ${tsBase + i / 60}%02d:${i % 60}%02d:00"),
+            s"dedup-stream payload $i with deterministic body".getBytes("UTF-8"),
+            null.asInstanceOf[String], null.asInstanceOf[String])
+        }.toDF("url", "warc_ts", "html", "text", "lang")
+        rows(0 until 40, "d", 1).coalesce(1)
+          .write.mode("overwrite").parquet(dir.getAbsolutePath)
+        // second FILE repeats payloads 0..19 under new urls (append keeps
+        // file A; the re-fetch arrives in a later micro-batch)
+        rows(0 until 20, "dup", 9).coalesce(1)
+          .write.mode("append").parquet(dir.getAbsolutePath)
+      }
+      val run = s"$SynthRoot/dedupstream_${java.util.UUID.randomUUID().toString.take(8)}"
+      val q = StreamingExtract.dedupStream(
+        StreamingExtract.docSigs(s, s"${dir.getAbsolutePath}/*.parquet"))
+        .writeStream.format("parquet")
+        .option("path", s"$run/out")
+        .option("checkpointLocation", s"$run/ckpt")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.schema("url STRING, hash STRING, first_seen BOOLEAN, prior_count LONG")
+        .parquet(s"$run/out")
+        .groupBy(col("first_seen"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("hash")).as("n_hashes"),
+          sum(col("prior_count")).as("sum_prior"))
+        .orderBy("first_seen")
+    }),
     "x16_warc_ingest" -> ((s, _) => {
       // Common-Crawl-native ingest: synthesize WARC captures (one gzip,
       // one plain), ingest -> pages shape -> extraction, count by status

@@ -17,6 +17,17 @@ final case class SessionState(startMs: Long, endMs: Long, nPages: Long, bytes: L
 final case class HostSession(host: String, start_ms: Long, end_ms: Long,
     n_pages: Long, bytes: Long)
 
+/** One content signature entering streaming dedup (payload already
+  * dropped — only the hash crosses the stateful shuffle). */
+final case class DocSig(hash: String, url: String, ts: java.sql.Timestamp, bytes: Long)
+
+/** Per-content-hash dedup state: how many copies ever ingested. */
+final case class DedupState(count: Long)
+
+/** Streaming dedup verdict for one observed document. */
+final case class DedupDecision(url: String, hash: String, first_seen: Boolean,
+    prior_count: Long)
+
 /** Incremental extraction as a Structured Streaming job (SURVEY.md §2.9):
   * the idiomatic Spark home for the reference's resume-loop behavior.
   * `Trigger.AvailableNow` drains everything currently committed and stops
@@ -147,6 +158,55 @@ object StreamingExtract {
         col("warc_ts").as("ts"),
         length(col("html")).cast("long").as("bytes"))
       .as[PageEvent]
+  }
+
+  /** Streaming cross-batch exact deduplication — the streaming-ingest
+    * twin of the batch hash-groupBy dedup (q09): a continuously arriving
+    * crawl must drop re-fetched payloads against everything ALREADY
+    * ingested, which a per-batch groupBy cannot see. State per content
+    * hash is one counter (KeyValueGroupedDataset.flatMapGroupsWithState);
+    * each micro-batch shuffles only (hash, url, ts) triples — payloads
+    * never enter the stateful stage.
+    *
+    * Scale shape: state is O(distinct payloads ever seen). Production
+    * bounds it the way crawl dedup always does — a TTL on the hash
+    * (re-emit after expiry is an acceptable re-fetch) via
+    * ProcessingTimeTimeout, or an upstream time-partitioned compaction;
+    * unbounded NoTimeout keeps THIS operator's semantics exact and the
+    * bounding policy explicit at the call site.
+    */
+  def dedupStream(docs: Dataset[DocSig]): Dataset[DedupDecision] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .groupByKey(_.hash)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (hash: String, rows: Iterator[DocSig], state: GroupState[DedupState]) =>
+          // deterministic within-batch order (micro-batch iterator order
+          // is not guaranteed): earliest ts wins, url breaks ties
+          val sorted = rows.toArray.sortBy(r => (r.ts.getTime, r.url))
+          var count = state.getOption.map(_.count).getOrElse(0L)
+          val out = sorted.map { r =>
+            val d = DedupDecision(r.url, hash, first_seen = count == 0L, prior_count = count)
+            count += 1
+            d
+          }
+          state.update(DedupState(count))
+          out.iterator
+      }
+  }
+
+  /** Streaming source of content signatures over a pages parquet glob —
+    * hash computed map-side, payload dropped before the stateful shuffle. */
+  def docSigs(spark: SparkSession, pagesGlob: String): Dataset[DocSig] = {
+    import spark.implicits._
+    spark.readStream
+      .schema(pagesSchema)
+      .option("maxFilesPerTrigger", 1) // one micro-batch per file: dedup is cross-batch
+      .parquet(pagesGlob)
+      .select(md5(col("html")).as("hash"), col("url"),
+        col("warc_ts").as("ts"), length(col("html")).cast("long").as("bytes"))
+      .as[DocSig]
   }
 
   /** Windowed extraction-rate monitoring over the crawl timestamps —

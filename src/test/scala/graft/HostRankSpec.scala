@@ -53,6 +53,11 @@ class HostRankSpec extends AnyFunSuite {
   }
 
   test("repeated invocations pin no cached plans") {
+    // the assertion is on GLOBAL cache state, so it is only meaningful
+    // when no other suite in this shared JVM session holds cached plans —
+    // cancel (not fail) in the full-suite context, assert when run alone
+    assume(spark.sharedState.cacheManager.isEmpty,
+      "other suites hold cached plans in this shared session")
     val edges = Seq(("a", "b", 1.0), ("b", "a", 1.0))
     (1 to 3).foreach(_ => rankDf(edges, 2))
     // node/weight sets must be explicitly freed per call; rank sets are
