@@ -57,7 +57,7 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     // big enough that fixed stage/scheduling costs amortize at 32 cores
     val benchDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "2000000").toLong
-    val benchRoot = s"${SparkEntry.SynthRoot}/bench_$benchDocs"
+    val benchRoot = s"${SparkEntry.SynthRoot}/bench_${benchDocs}_v${graft.gen.SynthCorpus.GenVersion}"
 
     // ---- phase 1: headline queries at the driver-requested parallelism
     val s1 = session(cpus)

@@ -18,7 +18,7 @@ object BenchOne {
   def main(args: Array[String]): Unit = {
     val cores = args(0).toInt
     val salted = args(1).toBoolean
-    val benchRoot = s"${SparkEntry.SynthRoot}/bench_${sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "2000000")}"
+    val benchRoot = s"${SparkEntry.SynthRoot}/bench_${sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "2000000")}_v${graft.gen.SynthCorpus.GenVersion}"
     val s = SparkSession.builder()
       .master(s"local[$cores]")
       .config("spark.sql.shuffle.partitions", (2 * cores).toString)

@@ -7,7 +7,7 @@ import org.apache.spark.sql.SparkSession
 /** Diagnostic: per-payload-kind kernel cost over the bench corpus. */
 object DiagSkew {
   def main(args: Array[String]): Unit = {
-    val benchRoot = s"${SparkEntry.SynthRoot}/bench_${sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "2000000")}"
+    val benchRoot = s"${SparkEntry.SynthRoot}/bench_${sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "2000000")}_v${graft.gen.SynthCorpus.GenVersion}"
     val s = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "64")
       .config("spark.ui.enabled", "false")
