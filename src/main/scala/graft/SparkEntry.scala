@@ -614,6 +614,29 @@ object SparkEntry {
         .orderBy("site")
     }),
 
+    "q32_token_packing" -> ((s, dir) => {
+      // Token-budget sharding (pretraining sequence packing, greedy
+      // contiguous form): docs stream per-lang in doc_id order into
+      // shards of <= 2000 whitespace tokens (budget chosen so every test SF exercises multi-shard packing) — a running-sum window over
+      // integer token counts, so shard assignment is exact in both
+      // engines. At 100 TB the window partitions by lang (bounded
+      // cardinality); a per-partition-file variant would key the window
+      // by input shard instead — same plan shape.
+      val w = Window.partitionBy("lang").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val nTok = size(split(col("text"), " ")).cast("long")
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), nTok.as("n_tok"))
+        .withColumn("cum", sum(col("n_tok")).over(w))
+        .withColumn("shard", floor((col("cum") - 1) / 2000L).cast("long"))
+        .groupBy(col("lang"), col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("sum_tokens"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"))
+        .orderBy("lang", "shard")
+    }),
+
     // ---- extraction pipeline (rows-only: not SQL-expressible) ----
     "x01_extract_plain" -> ((s, _) => {
       val (pagesDir, _) = microTables(s)
@@ -1427,5 +1450,21 @@ object SparkEntry {
         |  CAST(count(DISTINCT canon) AS BIGINT) AS n_canonical,
         |  min(canon) AS sample_canonical
         |FROM c3 GROUP BY site ORDER BY site""".stripMargin,
+    "q32_token_packing" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, lang, n_tok,
+        |    SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM d)
+        |SELECT lang, CAST(floor((cum - 1) / 2000) AS BIGINT) AS shard,
+        |  count(*) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
+        |  CAST(min(doc_id) AS BIGINT) AS first_doc,
+        |  CAST(max(doc_id) AS BIGINT) AS last_doc
+        |FROM c GROUP BY lang, shard ORDER BY lang, shard""".stripMargin,
   )
 }
