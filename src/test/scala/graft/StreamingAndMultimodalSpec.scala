@@ -57,9 +57,54 @@ class StreamingAndMultimodalSpec extends AnyFunSuite {
     assert(stats.map(_.getAs[String]("kind")).toSet == Set("image", "audio", "video"))
     val video = stats.find(_.getAs[String]("kind") == "video").get
     assert(video.getAs[Long]("sum_sampled_frames") > 0)
+    // image + audio payloads REALLY decode (ImageIO / javax.sound);
+    // video is the only stubbed modality (no JDK video codec)
+    val image = stats.find(_.getAs[String]("kind") == "image").get
+    val audio = stats.find(_.getAs[String]("kind") == "audio").get
+    assert(image.getAs[Long]("n_decoded") == image.getAs[Long]("n_assets"))
+    assert(audio.getAs[Long]("n_decoded") == audio.getAs[Long]("n_assets"))
+    assert(video.getAs[Long]("n_decoded") == 0L)
     // deterministic across runs
     val again = Multimodal.featureStats(spark, 300L).collect()
     assert(stats.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
+  test("multimodal: image decode reads real pixels (known synthetic PNG)") {
+    // hand-built 2x1 PNG: left pixel black, right pixel white
+    val img = new java.awt.image.BufferedImage(2, 1,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0x000000); img.setRGB(1, 0, 0xffffff)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val dec = Multimodal.decodeImage(bos.toByteArray).get
+    assert(dec.w == 2 && dec.h == 1)
+    assert(math.abs(dec.lum(0) - 0.0f) < 1e-6)
+    assert(math.abs(dec.lum(1) - 1.0f) < 1e-6)
+    // box resample 2x1 -> 1x1 averages the two pixels
+    val avg = Multimodal.boxResample(dec.lum, 2, 1, 1, 1)
+    assert(math.abs(avg(0) - 0.5f) < 1e-6)
+    // the feature vector derives from those pixels: uniform gray in,
+    // constant normalized feature out
+    val gray = Multimodal.DecodedImage(4, 4, Array.fill(16)(0.5f))
+    assert(Multimodal.imageFeature(gray, 16, 8, 8).forall(v => math.abs(v) < 1e-6))
+    // synth assets carry honest metadata: decoded dims match the row
+    val a = Multimodal.synthAssets(spark, 60L).collect().find(_.kind == "image").get
+    val d = Multimodal.decodeImage(a.payload).get
+    assert(d.w == a.width && d.h == a.height)
+    // corrupt bytes degrade to the stub, never throw
+    assert(Multimodal.decodeImage(Array[Byte](1, 2, 3, 4)).isEmpty)
+  }
+
+  test("multimodal: audio decode reads real samples (known synthetic WAV)") {
+    // full-scale DC would clip; a 0.5-amplitude sine has RMS ~0.3535
+    val wav = Multimodal.synthWav(7L, 8000, 800)
+    val samples = Multimodal.decodeAudio(wav).get
+    assert(samples.length == 800)
+    val rms = math.sqrt(samples.map(s => s.toDouble * s).sum / samples.length)
+    assert(rms > 0.1 && rms < 0.75) // a real tone, not silence/noise-stub
+    val feat = Multimodal.audioFeature(samples, 16)
+    assert(feat.length == 16 && feat.forall(v => v >= 0 && v <= 1))
+    assert(Multimodal.decodeAudio(Array[Byte](9, 9, 9)).isEmpty)
   }
 
   test("simhash: near-identical texts are close, different texts far") {
