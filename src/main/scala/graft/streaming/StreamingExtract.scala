@@ -24,6 +24,9 @@ final case class DocSig(hash: String, url: String, ts: java.sql.Timestamp, bytes
 /** Per-content-hash dedup state: how many copies ever ingested. */
 final case class DedupState(count: Long)
 
+/** TTL-bounded dedup state: copy count + last-seen processing time. */
+final case class DedupTtlState(count: Long, lastMs: Long)
+
 /** Streaming dedup verdict for one observed document. */
 final case class DedupDecision(url: String, hash: String, first_seen: Boolean,
     prior_count: Long)
@@ -48,7 +51,18 @@ object StreamingExtract {
 
   /** Start an available-now streaming extraction over a parquet directory
     * of pages, writing extracted parquet via foreachBatch. Returns the
-    * query; caller awaits termination. */
+    * query; caller awaits termination.
+    *
+    * The sink is IDEMPOTENT under micro-batch retry: foreachBatch is
+    * at-least-once (a batch that fails after a partial — or even
+    * complete — write is replayed from the checkpoint on restart), so a
+    * plain `mode("append").parquet(outDir)` would duplicate rows. Each
+    * batch instead overwrites its own `batch_id=<id>` partition
+    * directory: a replay rewrites the same path with the same
+    * deterministic content, so re-running after a mid-batch kill yields
+    * exactly the single-shot result (asserted by the kill/rerun test in
+    * StreamingAndMultimodalSpec). Readers see `batch_id` as a normal
+    * partition column via directory discovery. */
   def availableNow(spark: SparkSession, pagesGlob: String, outDir: String,
       checkpointDir: String, mode: ExtractMode = ExtractMode.Plain): StreamingQuery = {
     val stream = spark.readStream
@@ -59,8 +73,7 @@ object StreamingExtract {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val extracted = Pipeline.extract(batch, mode).toDF()
-          .withColumn("batch_id", lit(batchId))
-        extracted.write.mode("append").parquet(outDir)
+        extracted.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
       }
       .start()
   }
@@ -168,12 +181,11 @@ object StreamingExtract {
     * each micro-batch shuffles only (hash, url, ts) triples — payloads
     * never enter the stateful stage.
     *
-    * Scale shape: state is O(distinct payloads ever seen). Production
-    * bounds it the way crawl dedup always does — a TTL on the hash
-    * (re-emit after expiry is an acceptable re-fetch) via
-    * ProcessingTimeTimeout, or an upstream time-partitioned compaction;
-    * unbounded NoTimeout keeps THIS operator's semantics exact and the
-    * bounding policy explicit at the call site.
+    * Scale shape: state is O(distinct payloads ever seen). This form is
+    * the EXACT-semantics option (NoTimeout, unbounded); production
+    * bounds state with `dedupStreamTtl`, which expires idle hashes
+    * after a TTL — re-admitting an expired payload is an acceptable
+    * re-fetch, the standard crawl-dedup trade.
     */
   def dedupStream(docs: Dataset[DocSig]): Dataset[DedupDecision] = {
     val spark = docs.sparkSession
@@ -193,6 +205,58 @@ object StreamingExtract {
           }
           state.update(DedupState(count))
           out.iterator
+      }
+  }
+
+  /** TTL-BOUNDED streaming dedup — the production form of `dedupStream`:
+    * a hash not observed for `ttlMs` of processing time has its state
+    * expired (ProcessingTimeTimeout fires on a later micro-batch and
+    * removes it), so state is O(hashes seen within the TTL window), not
+    * O(hashes ever). An expired payload re-admits as `first_seen` — the
+    * standard crawl trade (a re-fetch after the window is acceptable;
+    * missing a NEW document never happens).
+    *
+    * Two expiry paths, because ProcessingTimeTimeout only fires for keys
+    * with NO new data in a batch: (a) idle key → timeout callback →
+    * state.remove(); (b) data arrives for a key whose TTL already lapsed
+    * before any timeout fired → the age check resets the count as if the
+    * state had been removed. Both are deterministic given batch
+    * processing times.
+    *
+    * TRIGGER CAVEAT: run this under a continuous trigger
+    * (`processAllAvailable()` + `stop()` to drain in tests). Under
+    * `Trigger.AvailableNow` the query NEVER terminates — Spark's
+    * FlatMapGroupsWithStateExec reports shouldRunAnotherBatch = true
+    * unconditionally for ProcessingTimeTimeout (processing time always
+    * advances), so the drain loops empty micro-batches forever. The
+    * exact-semantics `dedupStream` (NoTimeout) is the AvailableNow-safe
+    * form. */
+  def dedupStreamTtl(docs: Dataset[DocSig], ttlMs: Long): Dataset[DedupDecision] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .groupByKey(_.hash)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        (hash: String, rows: Iterator[DocSig], state: GroupState[DedupTtlState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val now = state.getCurrentProcessingTimeMs()
+            val sorted = rows.toArray.sortBy(r => (r.ts.getTime, r.url))
+            var count = state.getOption match {
+              case Some(s) if now - s.lastMs <= ttlMs => s.count
+              case _ => 0L // absent, or present-but-lapsed (path b)
+            }
+            val out = sorted.map { r =>
+              val d = DedupDecision(r.url, hash, first_seen = count == 0L, prior_count = count)
+              count += 1
+              d
+            }
+            state.update(DedupTtlState(count, now))
+            state.setTimeoutDuration(ttlMs)
+            out.iterator
+          }
       }
   }
 

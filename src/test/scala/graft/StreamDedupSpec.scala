@@ -31,8 +31,13 @@ class StreamDedupSpec extends AnyFunSuite {
       .coalesce(1).write.mode("append").parquet(dir)
   }
 
-  private def drain(src: String, run: String): Unit = {
-    val q = StreamingExtract.dedupStream(StreamingExtract.docSigs(spark, s"$src/*.parquet"))
+  private def drain(src: String, run: String, ttlMs: Option[Long] = None): Unit = {
+    val sigs = StreamingExtract.docSigs(spark, s"$src/*.parquet")
+    val decisions = ttlMs match {
+      case Some(t) => StreamingExtract.dedupStreamTtl(sigs, t)
+      case None => StreamingExtract.dedupStream(sigs)
+    }
+    val q = decisions
       .writeStream.format("parquet")
       .option("path", s"$run/out")
       .option("checkpointLocation", s"$run/ckpt")
@@ -65,5 +70,61 @@ class StreamDedupSpec extends AnyFunSuite {
     assert(dups.forall(_.getAs[String]("url").contains("dup")))
     assert(dups.forall(_.getAs[Long]("prior_count") == 1L))
     assert(out2.filter("first_seen").count() == 40)
+  }
+
+  test("ttl dedup: idle hashes expire, re-admit as first_seen, state shrinks") {
+    // ProcessingTimeTimeout makes shouldRunAnotherBatch always true:
+    // an AvailableNow drain never terminates AND processAllAvailable()
+    // never signals (every trigger claims work). Drive ONE continuous
+    // query with a bounded trigger cadence and poll the sink for the
+    // expected row count; the idle batches in between fire the timers.
+    val root = s"${SparkEntry.SynthRoot}/streamdedup_ttl_${java.util.UUID.randomUUID().toString.take(8)}"
+    val src = s"$root/src"
+    val ttl = 500L
+    def outRows() =
+      try spark.read
+        .schema("url STRING, hash STRING, first_seen BOOLEAN, prior_count LONG")
+        .parquet(s"$root/out")
+      catch { case _: Exception => spark.emptyDataFrame }
+    def awaitCount(n: Long, timeoutMs: Long = 120000L): Unit = {
+      val deadline = System.currentTimeMillis() + timeoutMs
+      while (outRows().count() < n && System.currentTimeMillis() < deadline)
+        Thread.sleep(250)
+      assert(outRows().count() == n, s"sink rows != $n within ${timeoutMs}ms")
+    }
+    writeBatch(src, 0 until 30, "a", hour = 1)
+    val q = StreamingExtract.dedupStreamTtl(
+        StreamingExtract.docSigs(spark, s"$src/*.parquet"), ttl)
+      .writeStream.format("parquet")
+      .option("path", s"$root/out")
+      .option("checkpointLocation", s"$root/ckpt")
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime("500 milliseconds"))
+      .start()
+    try {
+      awaitCount(30)
+      assert(outRows().filter("first_seen").count() == 30)
+
+      // let every hash's TTL lapse (idle micro-batches keep running and
+      // fire the timers), then re-serve 15: they must RE-ADMIT
+      Thread.sleep(ttl * 6)
+      writeBatch(src, 0 until 15, "dup", hour = 5)
+      awaitCount(45)
+      assert(outRows().filter("NOT first_seen").count() == 0,
+        "expired hashes must re-admit as first_seen")
+
+      // re-serve 5 more; within their re-admission TTL they are flagged,
+      // after it they re-admit — either way all 50 observations account
+      writeBatch(src, 0 until 5, "dup2", hour = 7)
+      awaitCount(50)
+      val dups = outRows().filter("NOT first_seen").collect()
+      assert(dups.forall(_.getAs[String]("url").contains("dup2")))
+    } finally q.stop()
+
+    // state actually SHRANK: 30 distinct hashes were ever ingested, but
+    // the 15 idle since the first batch were removed by timeout
+    // callbacks (and later-phase ones may have expired before stop too)
+    val stateRows = spark.read.format("statestore").load(s"$root/ckpt").count()
+    assert(stateRows <= 15L, s"state store holds $stateRows rows, want <= 15")
   }
 }

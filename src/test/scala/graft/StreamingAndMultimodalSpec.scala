@@ -32,6 +32,36 @@ class StreamingAndMultimodalSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$run/out").count() == expected)
   }
 
+  test("availableNow sink is idempotent under micro-batch replay") {
+    val (pagesDir, _) = SparkEntry.microTables(spark)
+    val run = s"${SparkEntry.SynthRoot}/stream_replay_${System.nanoTime()}"
+    val q = graft.streaming.StreamingExtract.availableNow(
+      spark, s"$pagesDir/data/*.parquet", s"$run/out", s"$run/ckpt")
+    q.awaitTermination()
+    val once = spark.read.parquet(s"$run/out")
+    val expected = once.count()
+    val urlsOnce = once.select("url").distinct().count()
+    assert(expected > 0 && urlsOnce == expected)
+    // simulate a crash AFTER the batch wrote its output but BEFORE the
+    // checkpoint committed: delete the commit marker so the restart
+    // replays the batch (the foreachBatch at-least-once path). The
+    // batch_id-keyed overwrite must make the replay a no-op.
+    val commits = new java.io.File(s"$run/ckpt/commits")
+    val markers = commits.listFiles().filter(_.getName.forall(_.isDigit))
+    assert(markers.nonEmpty)
+    val marker = markers.maxBy(_.getName.toLong)
+    // the local FS keeps a hidden checksum sibling; a stale one fails
+    // the replay's atomic rename
+    new java.io.File(commits, s".${marker.getName}.crc").delete()
+    assert(marker.delete())
+    val q2 = graft.streaming.StreamingExtract.availableNow(
+      spark, s"$pagesDir/data/*.parquet", s"$run/out", s"$run/ckpt")
+    q2.awaitTermination()
+    val twice = spark.read.parquet(s"$run/out")
+    assert(twice.count() == expected, "replayed batch must not duplicate rows")
+    assert(twice.select("url").distinct().count() == urlsOnce)
+  }
+
   test("windowed streaming agg over crawl timestamps produces rows") {
     val (pagesDir, _) = SparkEntry.microTables(spark)
     val agg = graft.streaming.StreamingExtract.rateByWindow(spark, s"$pagesDir/data/*.parquet")
