@@ -1,5 +1,6 @@
 package graft.functions
 
+import graft.util.Checkpoints
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -8,23 +9,34 @@ import org.apache.spark.sql.functions._
   * hosts by link-graph centrality, the standard web-scale companion to
   * main-content extraction.
   *
-  * Scale shape: one shuffle per power iteration (contribution join +
-  * per-dst sum); ranks and weights are longs/doubles per HOST (~10^7-10^8
-  * rows at crawl scale, not 10^12 pages). The dangling-mass reduction is
-  * a one-row aggregate, and lineage is truncated every 4th iteration
-  * exactly like `TextSketch.connectedComponents` (plan growth is the
-  * iterative-join trap).
+  * Scale shape: ONE shuffle and ONE action per power iteration — the
+  * dangling-mass reduction is a broadcast one-row aggregate folded into
+  * the same job as the contribution join, not a separate driver action.
+  * Ranks and weights are per HOST (~10^7-10^8 rows at crawl scale, not
+  * 10^12 pages). Lineage is truncated every 4th iteration via
+  * [[Checkpoints.truncator]]: `spark.graft.cc.checkpointDir` switches it
+  * to reliable checkpoints for fleet runs.
   *
-  * Determinism: per-edge contributions are quantized to 1e-9 rank units
-  * (longs) BEFORE the shuffle sum — integer addition is associative, so
-  * ranks are bit-identical under any partitioning (the same fixed-point
-  * discipline as the IVF centroid fit; float sums would drift with task
-  * order). 1e-9 of a rank unit is far below any ranking decision; long
-  * overflow needs total rank mass over ~9e9 units (rank mass is 1).
+  * Determinism: EVERY floating sum in the pipeline is quantized to 1e-9
+  * units (longs) BEFORE it is shuffled — input edge weights on entry
+  * (so multi-edge weights, out-weights and their ratios are exact for
+  * ARBITRARY double weights, not just integral ones), and per-edge rank
+  * contributions per iteration. Integer addition is associative, so
+  * ranks are bit-identical under any partitioning. Sub-quantum edges
+  * (weight < 0.5e-9) drop out — their source becomes dangling, which is
+  * the honest reading of a zero-quantum link. Weights must be
+  * non-negative and below ~9.2e9 (long range at Q = 1e9).
   */
 object HostRank {
 
   final val Q = 1e9
+
+  /** Spark's Round-on-double semantics (HALF_UP over the decimal value,
+    * scala BigDecimal) then a long cast — the driver-side mirror must
+    * round EXACTLY this way or values within 1 ULP of .5 diverge from
+    * the distributed `round(x).cast("long")`. */
+  private def roundQ(x: Double): Long =
+    BigDecimal(x).setScale(0, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble.toLong
 
   /** edges: (src, dst, weight) host-level multi-edge list. Returns
     * (host, rank) with sum(rank) ~= 1. `truncateFinal = false` keeps the
@@ -33,51 +45,57 @@ object HostRank {
   def pageRank(edges: DataFrame, iters: Int = 10, damping: Double = 0.85,
       truncateFinal: Boolean = true): DataFrame = {
     val spark = edges.sparkSession
-    import spark.implicits._
+    val truncate0 = Checkpoints.truncator(spark)
+    // quantize each input weight BEFORE any aggregation: long sums are
+    // partitioning-invariant where double sums are not
     val e = edges.select(col("src").cast("string").as("src"),
       col("dst").cast("string").as("dst"),
-      col("weight").cast("double").as("w"))
-      .groupBy("src", "dst").agg(sum(col("w")).as("w"))
+      round(col("weight").cast("double") * Q).cast("long").as("w_q"))
+      .groupBy("src", "dst").agg(sum(col("w_q")).as("w_q"))
+      .filter(col("w_q") > 0)
       .persist()
-    val outW = e.groupBy(col("src")).agg(sum(col("w")).as("out_w"))
+    val outW = e.groupBy(col("src")).agg(sum(col("w_q")).as("out_w_q"))
     val weighted = e.join(outW, Seq("src"))
-      .select(col("src"), col("dst"), (col("w") / col("out_w")).as("frac"))
+      .select(col("src"), col("dst"), (col("w_q") / col("out_w_q")).as("frac"))
       .persist()
     weighted.count()
-    e.unpersist()
     val nodes = e.select(col("src").as("host"))
       .unionByName(e.select(col("dst").as("host"))).distinct().persist()
     val n = nodes.count()
+    e.unpersist()
     // loud failure beats Infinity ranks from 1/0 (the IvfIndex seeding
     // lesson: degenerate inputs must not produce silent garbage) — and
     // the failure path must release what it pinned
     if (n == 0) {
       weighted.unpersist(); nodes.unpersist()
       throw new IllegalArgumentException(
-        "HostRank.pageRank: empty edge list — no hosts to rank")
+        "HostRank.pageRank: no hosts to rank (empty edge list, or every weight quantized to zero)")
     }
     val base = (1.0 - damping) / n
     val srcs = weighted.select(col("src")).distinct()
-    var ranks = nodes.select(col("host"), lit(1.0 / n).as("rank")).localCheckpoint(true)
+    var ranks = truncate0(nodes.select(col("host"), lit(1.0 / n).as("rank")))
     var prev: DataFrame = null
     var it = 0
     while (it < iters) {
-      // dangling hosts (no outlinks) spread their mass uniformly
-      val danglingQ = ranks.join(srcs, ranks("host") === srcs("src"), "left_anti")
-        .agg(coalesce(sum(round(col("rank") * Q).cast("long")), lit(0L)))
-        .first().getLong(0)
+      // dangling hosts (no outlinks) spread their mass uniformly; the
+      // one-row aggregate rides the SAME job as the contribution join
+      // via a broadcast cross join — one action per hop
+      val dangling = ranks.join(srcs, ranks("host") === srcs("src"), "left_anti")
+        .agg(coalesce(sum(round(col("rank") * Q).cast("long")), lit(0L)).as("dangling_q"))
       val inflow = ranks.join(weighted, ranks("host") === weighted("src"))
         .select(col("dst").as("host"),
           round(col("rank") * col("frac") * Q).cast("long").as("contrib_q"))
         .groupBy(col("host"))
         .agg(sum(col("contrib_q")).as("inflow_q"))
       val nextRaw = nodes.join(inflow, Seq("host"), "left")
+        .crossJoin(broadcast(dangling))
         .select(col("host"),
           (lit(base) + lit(damping) *
-            (coalesce(col("inflow_q"), lit(0L)) / Q + lit(danglingQ / Q / n))).as("rank"))
+            (coalesce(col("inflow_q"), lit(0L)) / Q +
+              col("dangling_q") / lit(Q) / lit(n.toDouble))).as("rank"))
       val truncate = (it % 4 == 3 || it == iters - 1) &&
         (truncateFinal || it != iters - 1)
-      val next = if (truncate) nextRaw.localCheckpoint(true)
+      val next = if (truncate) truncate0(nextRaw)
         else { val p = nextRaw.persist(); p.count(); p }
       if (prev != null) { prev.unpersist(); prev = null }
       if (!truncate) prev = next
@@ -96,23 +114,27 @@ object HostRank {
     ranks
   }
 
-  /** Driver-side reference implementation (tests): identical quantization
-    * and iteration order-independent arithmetic, so the distributed result
-    * must match it bit-for-bit. */
+  /** Driver-side reference implementation (tests): identical
+    * quantization, rounding (Spark HALF_UP via roundQ) and
+    * order-independent integer arithmetic, so the distributed result
+    * must match it bit-for-bit — for arbitrary double weights. */
   def pageRankLocal(edges: Seq[(String, String, Double)], iters: Int = 10,
       damping: Double = 0.85): Map[String, Double] = {
-    val w = edges.groupBy(e => (e._1, e._2)).map { case (k, es) => (k, es.map(_._3).sum) }
-    val outW = w.groupBy(_._1._1).map { case (s, m) => (s, m.values.sum) }
-    val nodes = (w.keys.map(_._1) ++ w.keys.map(_._2)).toSet.toSeq.sorted
+    val wq = edges.groupBy(e => (e._1, e._2))
+      .map { case (k, es) => (k, es.map(e => roundQ(e._3 * Q)).sum) }
+      .filter(_._2 > 0)
+    val outW = wq.groupBy(_._1._1).map { case (s, m) => (s, m.values.sum) }
+    val nodes = (wq.keys.map(_._1) ++ wq.keys.map(_._2)).toSet.toSeq.sorted
     val n = nodes.length
     val base = (1.0 - damping) / n
     var ranks = nodes.map(h => h -> 1.0 / n).toMap
     (1 to iters).foreach { _ =>
       val danglingQ = nodes.filterNot(outW.contains)
-        .map(h => math.round(ranks(h) * Q)).sum
+        .map(h => roundQ(ranks(h) * Q)).sum
       val inflowQ = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
-      w.foreach { case ((s, d), wt) =>
-        inflowQ(d) += math.round(ranks(s) * (wt / outW(s)) * Q)
+      wq.foreach { case ((s, d), wt) =>
+        val frac = wt.toDouble / outW(s).toDouble
+        inflowQ(d) += roundQ(ranks(s) * frac * Q)
       }
       ranks = nodes.map(h =>
         h -> (base + damping * (inflowQ(h) / Q + danglingQ / Q / n))).toMap

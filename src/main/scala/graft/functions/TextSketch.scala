@@ -273,15 +273,9 @@ object TextSketch extends Serializable {
       .unionByName(pairs.select(col("doc_b").cast("long").as("src"), col("doc_a").cast("long").as("dst")))
       .distinct()
       .persist()
-    // Reliable checkpointing for cluster scale: set
-    // spark.graft.cc.checkpointDir to an HDFS/object-store path and
-    // lineage truncation goes through `checkpoint` (survives executor
-    // loss — the right mode for 10^12-row runs); unset, it uses
-    // `localCheckpoint` (executor-storage, fine single-JVM).
-    val ckptDir = spark.conf.getOption("spark.graft.cc.checkpointDir")
-    ckptDir.foreach(spark.sparkContext.setCheckpointDir)
-    def truncateLineage(df: DataFrame): DataFrame =
-      if (ckptDir.isDefined) df.checkpoint(eager = true) else df.localCheckpoint(true)
+    // Reliable-vs-local checkpointing policy shared with HostRank:
+    // see graft.util.Checkpoints (spark.graft.cc.checkpointDir conf).
+    val truncateLineage = graft.util.Checkpoints.truncator(spark)
     // Iteration bookkeeping rules (each learned the hard way):
     //  - the logical plan of an iterative self-join DOUBLES per hop, and
     //    by ~15 hops the plan STRING alone OOMs the driver (observed:

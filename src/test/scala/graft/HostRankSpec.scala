@@ -46,6 +46,31 @@ class HostRankSpec extends AnyFunSuite {
     assert(r1 == r7)
   }
 
+  test("non-integral weights: partition-invariant AND bit-equal to local") {
+    // fractional weights are where raw double sums drift with task
+    // order; the entry-point quantization must make them exact too
+    val edges = (0 until 60).map { i =>
+      (s"w${i % 9}", s"w${(i * 5 + 2) % 9}", 0.1 + (i % 7) * 0.3 + i * 1e-4)
+    } ++ Seq(("w0", "frac-sink", 0.7)) // dangling under fractional mass
+    val expected = HostRank.pageRankLocal(edges)
+    val r1 = rankDf(edges, 1)
+    val r5 = rankDf(edges, 5)
+    assert(r1 == r5)
+    assert(r1.keySet == expected.keySet)
+    expected.foreach { case (h, v) => assert(r1(h) == v, s"host $h") }
+  }
+
+  test("sub-quantum weights drop out; all-zero weights fail loudly") {
+    import spark.implicits._
+    // 1e-12 quantizes to zero at Q=1e9 -> its source becomes dangling
+    val edges = Seq(("a", "b", 1.0), ("b", "a", 1.0), ("b", "ghost", 1e-12))
+    val r = rankDf(edges, 2)
+    assert(r.keySet == Set("a", "b")) // ghost edge (and node) dropped
+    val allZero = spark.createDataset(Seq(("x", "y", 1e-12)))
+      .toDF("src", "dst", "weight")
+    intercept[IllegalArgumentException] { HostRank.pageRank(allZero).collect() }
+  }
+
   test("empty edge list fails loudly instead of producing Infinity ranks") {
     import spark.implicits._
     val empty = spark.emptyDataset[(String, String, Double)].toDF("src", "dst", "weight")
@@ -53,11 +78,12 @@ class HostRankSpec extends AnyFunSuite {
   }
 
   test("repeated invocations pin no cached plans") {
-    // the assertion is on GLOBAL cache state, so it is only meaningful
-    // when no other suite in this shared JVM session holds cached plans —
-    // cancel (not fail) in the full-suite context, assert when run alone
-    assume(spark.sharedState.cacheManager.isEmpty,
-      "other suites hold cached plans in this shared session")
+    // the assertion is on GLOBAL cache state; forked tests run
+    // sequentially (no testForkedParallel), so clearing the shared
+    // cache here is race-free — earlier suites' cached frames simply
+    // recompute (and re-cache) on next use. This replaces the old
+    // `assume`-cancel with a real assertion in the full-suite run.
+    spark.catalog.clearCache()
     val edges = Seq(("a", "b", 1.0), ("b", "a", 1.0))
     (1 to 3).foreach(_ => rankDf(edges, 2))
     // node/weight sets must be explicitly freed per call; rank sets are
