@@ -148,12 +148,13 @@ object Metrics {
     * chunk count. Tokens are lowercased on entry (nltk meteor_score's
     * preprocess=str.lower — without it the exact stage diverges on any
     * case difference). The third nltk stage (WordNet synonymy) requires
-    * the WordNet database and is omitted — documented residual gap; on
-    * transcription-style text synonym matches are rare, so this covers
-    * the metric's mass. The stemmer is the 1980 Porter algorithm; nltk
-    * defaults to NLTK_EXTENSIONS mode (a handful of extra rules, e.g.
-    * dying→die), so stem-stage alignments can differ on those words —
-    * also a documented residual. chrF remains available alongside.
+    * the WordNet database and is omitted — the one documented residual
+    * gap; on transcription-style text synonym matches are rare, so this
+    * covers the metric's mass. The stemmer runs in nltk's default
+    * NLTK_EXTENSIONS mode (PorterStemmer.stem: irregular-form pool,
+    * ies/ied length-4 rules, revised step 1c — pinned by MeteorSpec
+    * vectors), matching what nltk meteor_score actually stems with.
+    * chrF remains available alongside.
     */
   def meteor(refTokens: Array[String], hypTokens: Array[String],
       alpha: Double = 0.9, beta: Double = 3.0, gamma: Double = 0.5): Double = {

@@ -7,7 +7,32 @@ import org.scalatest.funsuite.AnyFunSuite
   * published algorithm's own example vectors and hand-computed scores. */
 class MeteorSpec extends AnyFunSuite {
 
-  test("Porter stemmer: vectors from the published algorithm") {
+  test("Porter stemmer, NLTK_EXTENSIONS mode (the METEOR default): nltk's extension vectors") {
+    val vectors = Seq(
+      // irregular-form pool
+      "dying" -> "die", "lying" -> "lie", "tying" -> "tie",
+      "skies" -> "sky", "sky" -> "sky", "news" -> "news",
+      "innings" -> "inning", "proceed" -> "proceed", "succeed" -> "succeed",
+      // length-4 ies/ied keep the e; longer words take the original path
+      "dies" -> "die", "ties" -> "tie", "died" -> "die", "tied" -> "tie",
+      "flies" -> "fli", "spied" -> "spi", "ponies" -> "poni",
+      // revised step 1c: y->i only after a consonant, stem len > 1
+      "happy" -> "happi", "enjoy" -> "enjoy", "cry" -> "cri",
+      "say" -> "say", "by" -> "by",
+      // unaffected mainline words stem identically in both modes
+      "caresses" -> "caress", "generalizations" -> "gener",
+      "motoring" -> "motor", "hopping" -> "hop", "relational" -> "relat")
+    vectors.foreach { case (in, want) =>
+      assert(PorterStemmer.stem(in) == want, s"stem($in) = ${PorterStemmer.stem(in)}")
+    }
+    // the words the modes DISAGREE on, as documentation of the delta
+    assert(PorterStemmer.stemOriginal("dying") == "dy")
+    assert(PorterStemmer.stemOriginal("ties") == "ti")
+    assert(PorterStemmer.stemOriginal("say") == "sai")
+    assert(PorterStemmer.stemOriginal("news") == "new")
+  }
+
+  test("Porter stemmer, original 1980 mode: vectors from the published algorithm") {
     // FULL-pipeline expectations (all five steps run in sequence — the
     // paper's per-step example tables show intermediates, e.g. 1b gives
     // agreed->agree but step 5a then drops the e since m("agre")=1 and
@@ -39,7 +64,7 @@ class MeteorSpec extends AnyFunSuite {
       // multi-step composition (the paper's flagship example)
       "generalizations" -> "gener")
     vectors.foreach { case (in, want) =>
-      assert(PorterStemmer.stem(in) == want, s"stem($in)")
+      assert(PorterStemmer.stemOriginal(in) == want, s"stemOriginal($in)")
     }
   }
 
