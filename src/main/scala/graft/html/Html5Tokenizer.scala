@@ -319,7 +319,12 @@ object Html5Tokenizer {
                 val close = indexOfLit(s, i + 9, n, "]]>")
                 val end = if (close >= 0) close + 3 else n
                 // body appended straight from the decode buffer (flushText
-                // emits the run [i, end) exactly as the String form did)
+                // emits the run [i, end) exactly as the String form did).
+                // INTENTIONAL (ADVICE r3): an EMPTY `<![CDATA[]]>` emits no
+                // text run at all — the pre-refactor tokenizer stretched a
+                // preceding run's endByte over the empty marker, which put
+                // markup bytes inside a text span; covered by the
+                // FusedPathFuzzSpec "<![CDATA[]]>" atom.
                 val bodyLen = math.max(0, (if (close >= 0) close else n) - (i + 9))
                 if (bodyLen > 0) {
                   if (text.length == 0) textStart = i

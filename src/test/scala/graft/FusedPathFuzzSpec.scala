@@ -17,7 +17,7 @@ class FusedPathFuzzSpec extends AnyFunSuite {
   private val tagPool = Array("p", "div", "a", "b", "table", "tr", "td",
     "script", "style", "pre", "li", "ul", "nav", "h2", "br", "textarea", "x-odd")
   private val atoms = Array("&amp;", "&#65;", "&bogus;", "&", "<", ">", "<!",
-    "<!--", "-->", "<!-- c -->", "<![CDATA[z]]>", "<![CDATA[broken", "<?pi?>",
+    "<!--", "-->", "<!-- c -->", "<![CDATA[z]]>", "<![CDATA[broken", "<![CDATA[]]>", "<?pi?>",
     "<!doctype html>", " ", "\n", "é中", "</", "<3", "", "word", "x y z")
 
   private def soup(r: scala.util.Random): String = {
