@@ -203,13 +203,17 @@ class ScaleGuardSpec extends AnyFunSuite {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val dir = java.nio.file.Files.createTempDirectory("ivf_idx").toString
     graft.functions.IvfIndex.build(emb, dir)
-    val fromIndex = graft.functions.IvfIndex.query(spark, dir,
-      emb.filter(org.apache.spark.sql.functions.col("vec_id") < 5)).collect()
-      .map(_.toString).toSeq
+    val res = graft.functions.IvfIndex.query(spark, dir,
+      emb.filter(org.apache.spark.sql.functions.col("vec_id") < 5))
+    val fromIndex = res.select("query_id", "rank", "neighbor_id", "cos_x10000")
+      .collect().map(_.toString).toSeq
     // same centroid fit (deterministic quantized Lloyd), same probes,
     // same scoring -> byte-identical to the in-session operator
     val inSession = TextSketch.ivfTopK(emb).collect().map(_.toString).toSeq
     assert(fromIndex == inSession)
+    // the recall settings travel WITH the result (audit columns)
+    val audit = res.select("n_probe", "n_cells").distinct().collect()
+    assert(audit.length == 1 && audit.head.getInt(0) == 4 && audit.head.getInt(1) == 16)
     // partition pruning reaches the scan: the cells read are bounded by
     // the probed set, visible as PartitionFilters on `cell`
     val q = emb.filter(org.apache.spark.sql.functions.col("vec_id") < 5)
