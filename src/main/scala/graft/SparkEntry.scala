@@ -737,6 +737,47 @@ object SparkEntry {
         .orderBy("lang", "input_shard", "pack")
     }),
 
+    "q35_rare_term_idf" -> ((s, dir) => {
+      // IDF-weighted rare-term document scoring (the BM25-shaped
+      // retrieval/quality signal a training pipeline uses to find
+      // information-dense docs) with a RATIONAL idf surrogate:
+      // (N - df + 0.5) / (df + 0.5) — the BM25 idf argument WITHOUT the
+      // log, scaled to 1e6 integer units per term. ln() is the one
+      // operation whose last ulp can differ between engines; +, *, /
+      // are IEEE-identical, so this stays bit-exact in DuckDB while
+      // preserving the rare-term ordering (log is monotone). tf
+      // saturation is the standard k1=1.2 form.
+      // Scale shape: tf = one (doc, term) shuffle; df = one term-keyed
+      // agg; df joins BACK by term (shuffle join — the vocab is never
+      // collected or broadcast, so 10^9-term vocabularies are fine);
+      // per-doc and per-lang aggs are map-side partial. Every floor is
+      // per-term BEFORE the integer sums, so aggregation order never
+      // matters.
+      val d = t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"), col("lang"), col("text"))
+      val terms = d.select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("term"))
+      val tf = terms.groupBy(col("doc_id"), col("lang"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val nTotal = d.agg(count(lit(1)).as("n_docs_total"))
+      val scores = tf.join(df, Seq("term"))
+        .crossJoin(broadcast(nTotal))
+        .select(col("doc_id"), col("lang"),
+          floor((lit(1000000.0) * (col("n_docs_total") - col("df") + lit(0.5))
+              / (col("df") + lit(0.5)))
+            * (col("tf") * lit(2.2) / (col("tf") + lit(1.2))))
+            .cast("long").as("w"))
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(sum(col("w")).as("score"))
+      scores.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("score")).as("sum_score"),
+          max(col("score")).as("max_score"),
+          min(col("score")).as("min_score"))
+        .orderBy("lang")
+    }),
+
     // ---- extraction pipeline (rows-only: not SQL-expressible) ----
     "x01_extract_plain" -> ((s, _) => {
       val (pagesDir, _) = microTables(s)
@@ -867,6 +908,12 @@ object SparkEntry {
         graft.functions.IvfIndex.build(emb, idx)
       graft.functions.IvfIndex.query(s, idx, emb.filter(col("vec_id") < 5))
     }),
+    "x26_ann_pq" -> ((s, dir) =>
+      // product-quantization ADC top-k: 8-byte codes instead of 256-byte
+      // float vectors at scan time (32x compression), broadcast
+      // codebooks + per-query lookup tables, map-only scan, bounded
+      // TopKAgg shuffle — the memory-bound half of billion-scale ANN
+      graft.functions.PqSketch.adcTopK(t(s, dir, "embeddings"))),
     "x22_outlinks" -> ((s, _) => {
       // host link-graph construction: map-side link extraction (streaming
       // tokenizer, no DOM), ONE shuffle keyed by (src_host, dst_host) —
@@ -1640,5 +1687,27 @@ object SparkEntry {
         |  CAST(max(doc_id) AS BIGINT) AS last_doc
         |FROM packs GROUP BY lang, input_shard, pack
         |ORDER BY lang, input_shard, pack""".stripMargin,
+    // q35: identical parenthesization/operand order as the Spark
+    // expression — only IEEE-exact ops (+ - * / floor), no ln.
+    "q35_rare_term_idf" ->
+      """WITH d AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, text FROM documents),
+        |terms AS (
+        |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term FROM d),
+        |tf AS (
+        |  SELECT doc_id, lang, term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM terms GROUP BY doc_id, lang, term),
+        |df AS (
+        |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+        |sc AS (
+        |  SELECT doc_id, lang,
+        |    CAST(sum(CAST(floor((1000000.0 * ((SELECT count(*) FROM d) - df + 0.5)
+        |      / (df + 0.5)) * (tf * 2.2 / (tf + 1.2))) AS BIGINT)) AS BIGINT) AS score
+        |  FROM tf JOIN df USING (term) GROUP BY doc_id, lang)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(score) AS BIGINT) AS sum_score,
+        |  CAST(max(score) AS BIGINT) AS max_score,
+        |  CAST(min(score) AS BIGINT) AS min_score
+        |FROM sc GROUP BY lang ORDER BY lang""".stripMargin,
   )
 }
