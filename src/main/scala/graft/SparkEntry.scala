@@ -909,11 +909,25 @@ object SparkEntry {
       graft.functions.IvfIndex.query(s, idx, emb.filter(col("vec_id") < 5))
     }),
     "x26_ann_pq" -> ((s, dir) =>
-      // product-quantization ADC top-k: 8-byte codes instead of 256-byte
-      // float vectors at scan time (32x compression), broadcast
-      // codebooks + per-query lookup tables, map-only scan, bounded
-      // TopKAgg shuffle — the memory-bound half of billion-scale ANN
+      // product-quantization ADC top-k: 16-byte codes instead of
+      // 256-byte float vectors at scan time (16x compression),
+      // broadcast codebooks + per-query lookup tables, map-only scan,
+      // bounded TopKAgg shuffle — the memory-bound half of
+      // billion-scale ANN
       graft.functions.PqSketch.adcTopK(t(s, dir, "embeddings"))),
+    "x27_ann_ivfpq" -> ((s, dir) => {
+      // the COMPOSED architecture: IVF partition pruning picks WHICH
+      // cells a query scans, PQ codes shrink WHAT those cells store —
+      // a query reads nProbe/nCells of a 16x-compressed table and never
+      // touches a float vector at scan time. This is the standard
+      // 10^9-vector serving shape (FAISS IVFPQ), here expressed as
+      // plain partitioned parquet + Catalyst partition pruning.
+      val emb = t(s, dir, "embeddings")
+      val idx = s"$SynthRoot/ivfpq_index_${math.abs(dir.hashCode)}"
+      if (!graft.functions.IvfIndex.isCurrentCoded(s, idx, emb))
+        graft.functions.IvfIndex.buildCoded(emb, idx)
+      graft.functions.IvfIndex.queryCoded(s, idx, emb.filter(col("vec_id") < 5))
+    }),
     "x22_outlinks" -> ((s, _) => {
       // host link-graph construction: map-side link extraction (streaming
       // tokenizer, no DOM), ONE shuffle keyed by (src_host, dst_host) —

@@ -110,6 +110,128 @@ object IvfIndex {
     }
   }
 
+  // ------------------------------------------------- IVF + PQ composed
+
+  /** Build the PQ-CODED form of the index — the full billion-scale ANN
+    * architecture: IVF prunes WHICH cells a query scans (partition
+    * pruning), PQ shrinks WHAT each probed cell stores to m one-byte
+    * codes per vector. Layout adds to `dir`:
+    *   codebooks/  (subspace INT, code INT, centroid ARRAY<DOUBLE>)
+    *   codes/cell=<i>/...parquet (vec_id LONG, codes BINARY)
+    * The cells/ float table is NOT written in this mode — at 10^9
+    * vectors that is the whole point (codes are ~16x smaller). */
+  def buildCoded(emb: DataFrame, dir: String, nCells: Int = 16,
+      m: Int = 16, kCodes: Int = 16, iters: Int = 2, pqIters: Int = 4): Unit = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val vecs = emb.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])]
+    var centroids: Array[Array[Double]] = seedCentroids(vecs, nCells)
+    def nearest(cs: Array[Array[Double]], v: Array[Float]): Int = {
+      var best = 0; var bestCos = -2.0
+      var c = 0
+      while (c < cs.length) {
+        val cos = TextSketch.cosineD(cs(c), v)
+        if (cos > bestCos) { bestCos = cos; best = c }
+        c += 1
+      }
+      best
+    }
+    val Q = 1e6
+    (1 to iters).foreach { _ =>
+      val cs = centroids
+      val means = vecs
+        .map { case (_, v) => (nearest(cs, v), (v.map(x => math.round(x.toDouble * Q)), 1L)) }
+        .groupByKey(_._1)
+        .reduceGroups { (a, b) =>
+          val s = a._2._1.clone()
+          var i = 0; while (i < s.length) { s(i) += b._2._1(i); i += 1 }
+          (a._1, (s, a._2._2 + b._2._2))
+        }
+        .map { case (cell, (_, (sum, n))) => (cell, sum.map(x => x.toDouble / (n * Q))) }
+        .collect().toMap
+      centroids = centroids.indices.map(c => means.getOrElse(c, centroids(c))).toArray
+    }
+    val cs = centroids
+    cs.zipWithIndex.map { case (v, c) => (c, v) }.toSeq
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+    val cb = PqSketch.fit(emb, m, kCodes, pqIters)
+    cb.cents.zipWithIndex.flatMap { case (codes, s) =>
+      codes.zipWithIndex.map { case (cent, c) => (s, c, cent) }
+    }.toSeq.toDF("subspace", "code", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/codebooks")
+    val bcCb = spark.sparkContext.broadcast(cb)
+    vecs.map { case (id, v) =>
+      (nearest(cs, v), id, PqSketch.encodeOne(v, bcCb.value))
+    }.toDF("cell", "vec_id", "codes")
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/codes")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/MANIFEST_PQ"),
+      manifestJson(manifestStats(emb), nCells, iters) +
+        s"""|{"m":$m,"kCodes":$kCodes,"pqIters":$pqIters}""")
+  }
+
+  /** True when a coded index at `dir` matches the input + params. */
+  def isCurrentCoded(spark: SparkSession, dir: String, emb: DataFrame,
+      nCells: Int = 16, m: Int = 16, kCodes: Int = 16,
+      iters: Int = 2, pqIters: Int = 4): Boolean = {
+    val p = java.nio.file.Paths.get(s"$dir/MANIFEST_PQ")
+    java.nio.file.Files.exists(p) && {
+      java.nio.file.Files.readString(p) ==
+        manifestJson(manifestStats(emb), nCells, iters) +
+          s"""|{"m":$m,"kCodes":$kCodes,"pqIters":$pqIters}"""
+    }
+  }
+
+  /** Query the coded index: probe nProbe cells per query (IVF), then
+    * ADC-score ONLY the probed cells' code partitions (partition
+    * pruning; no float vector is read at scan time). Returns
+    * (query_id, rank, neighbor_id, adc_x10000, n_probe, n_cells). */
+  def queryCoded(spark: SparkSession, dir: String, queries: DataFrame,
+      k: Int = 5, nProbe: Int = 4): DataFrame = {
+    import spark.implicits._
+    val cs = spark.read.parquet(s"$dir/centroids")
+      .as[(Int, Array[Double])].collect().sortBy(_._1).map(_._2)
+    val cbRows = spark.read.parquet(s"$dir/codebooks")
+      .as[(Int, Int, Array[Double])].collect()
+    val m = cbRows.map(_._1).max + 1
+    val kCodes = cbRows.map(_._2).max + 1
+    val subDim = cbRows.head._3.length
+    val cents = Array.ofDim[Array[Double]](m, kCodes)
+    cbRows.foreach { case (s, c, cent) => cents(s)(c) = cent }
+    val cb = PqSketch.Codebooks(m, kCodes, subDim, cents.map(_.toArray))
+    // per-query probed cells + ADC table (bounded: queries are few)
+    val qs = queries.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+      .map { case (id, raw) =>
+        val probed = cs.indices.sortBy(c => -TextSketch.cosineD(cs(c), raw)).take(nProbe)
+        (id, probed, PqSketch.adcTable(raw, cb))
+      }
+    val probedCells = qs.flatMap(_._2).distinct.toSeq
+    val bc = spark.sparkContext.broadcast(qs)
+    val codes = spark.read.parquet(s"$dir/codes")
+      .filter(col("cell").isin(probedCells: _*)) // partition pruning
+      .select(col("cell"), col("vec_id").cast("long"), col("codes"))
+      .as[(Int, Long, Array[Byte])]
+    val scored = codes.flatMap { case (cell, id, cds) =>
+      bc.value.iterator
+        .filter { case (qid, probed, _) => qid != id && probed.contains(cell) }
+        .map { case (qid, _, tab) =>
+          var sc = 0.0
+          var s = 0
+          while (s < cds.length) { sc += tab(s)(cds(s) & 0xff); s += 1 }
+          (qid, id, sc)
+        }
+    }.toDF("query_id", "id", "score")
+      .groupBy(col("query_id"), col("id"))
+      .agg(max(col("score")).as("score"))
+    TopK.perQuery(scored, k)
+      .select(col("query_id"), col("rank"), col("id").as("neighbor_id"),
+        floor(col("score") * 10000).cast("long").as("adc_x10000"),
+        lit(nProbe).as("n_probe"), lit(cs.length).as("n_cells"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Query the persisted index: probe each query's nProbe nearest cells;
     * the `cell isin (...)` filter prunes unprobed partitions at the scan
     * (visible as PartitionFilters in the plan). Returns

@@ -117,22 +117,37 @@ object PqSketch {
     Codebooks(m, kEff, subDim, cents)
   }
 
+  /** Encode ONE raw (unnormalized) vector to its m codes. */
+  def encodeOne(raw: Array[Float], cb: Codebooks): Array[Byte] = {
+    val v = l2normalize(raw)
+    val codes = new Array[Byte](cb.m)
+    var s = 0
+    while (s < cb.m) {
+      codes(s) = nearestSub(cb.cents(s), v, s * cb.subDim, cb.subDim).toByte
+      s += 1
+    }
+    codes
+  }
+
+  /** The m×k ADC lookup table for one raw query vector: subspace inner
+    * products against every codebook centroid. */
+  def adcTable(raw: Array[Float], cb: Codebooks): Array[Array[Double]] = {
+    val qv = l2normalize(raw)
+    Array.tabulate(cb.m)(s => Array.tabulate(cb.k) { c =>
+      var dot = 0.0
+      var i = 0
+      while (i < cb.subDim) { dot += cb.cents(s)(c)(i) * qv(s * cb.subDim + i); i += 1 }
+      dot
+    })
+  }
+
   /** Map-only encode: (vec_id, m one-byte codes). */
   def encode(emb: DataFrame, cb: Codebooks): Dataset[(Long, Array[Byte])] = {
     val spark = emb.sparkSession
     import spark.implicits._
     emb.select(col("vec_id").cast("long"), col("embedding"))
       .as[(Long, Array[Float])]
-      .map { case (id, raw) =>
-        val v = l2normalize(raw)
-        val codes = new Array[Byte](cb.m)
-        var s = 0
-        while (s < cb.m) {
-          codes(s) = nearestSub(cb.cents(s), v, s * cb.subDim, cb.subDim).toByte
-          s += 1
-        }
-        (id, codes)
-      }
+      .map { case (id, raw) => (id, encodeOne(raw, cb)) }
   }
 
   /** ADC cosine-approx top-k for the first `nQueries` vec_ids: per-query
@@ -145,19 +160,11 @@ object PqSketch {
     import spark.implicits._
     val cb = fit(emb, m, kCodes, iters)
     val codes = encode(emb, cb)
-    val queries = emb.filter(col("vec_id") < nQueries)
+    val tables: Array[(Long, Array[Array[Double]])] = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").cast("long"), col("embedding"))
       .as[(Long, Array[Float])].collect() // nQueries rows — bounded
       .sortBy(_._1)
-      .map { case (id, raw) => (id, l2normalize(raw)) }
-    val tables: Array[(Long, Array[Array[Double]])] = queries.map { case (qid, qv) =>
-      qid -> Array.tabulate(cb.m)(s => Array.tabulate(cb.k) { c =>
-        var dot = 0.0
-        var i = 0
-        while (i < cb.subDim) { dot += cb.cents(s)(c)(i) * qv(s * cb.subDim + i); i += 1 }
-        dot
-      })
-    }
+      .map { case (qid, raw) => qid -> adcTable(raw, cb) }
     val bc = spark.sparkContext.broadcast(tables)
     val scored = codes.flatMap { case (id, cds) =>
       bc.value.iterator.filter(_._1 != id).map { case (qid, tab) =>

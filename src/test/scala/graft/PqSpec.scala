@@ -61,6 +61,45 @@ class PqSpec extends AnyFunSuite {
     assert(again == PqSketch.adcTopK(emb, nQueries = 5, k = k).collect().map(_.toString).toSeq)
   }
 
+  test("IVF+PQ coded index: pruned scan, sane recall, staleness detected") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq").toString
+    graft.functions.IvfIndex.buildCoded(emb, dir)
+    assert(graft.functions.IvfIndex.isCurrentCoded(spark, dir, emb))
+    val q = emb.filter(col("vec_id") < 5)
+    // partition pruning reaches the CODES scan
+    val plan = graft.functions.IvfIndex.queryCoded(spark, dir, q)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cell#") || plan.contains("cell IN"), plan)
+    // no float-vector table exists in coded mode — only codes
+    assert(!new java.io.File(s"$dir/cells").exists())
+    assert(new java.io.File(s"$dir/codes").exists())
+    // recall: IVF probing (4/16 cells) stacked on PQ approximation —
+    // floor is the product of the two stages' measured floors
+    val k = 5
+    val got = graft.functions.IvfIndex.queryCoded(spark, dir, q, k = k).collect()
+      .groupBy(_.getLong(0)).map { case (qq, rows) => qq -> rows.map(_.getLong(2)).toSet }
+    val vecs = emb.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])].collect()
+    val truth = vecs.filter(_._1 < 5).map { case (qid, qv) =>
+      qid -> vecs.filter(_._1 != qid)
+        .map { case (id, v) => (id, TextSketch.cosine(qv, v)) }
+        .sortBy { case (id, c) => (-c, id) }.take(k).map(_._1).toSet
+    }.toMap
+    val recalls = truth.map { case (qq, t) =>
+      got.getOrElse(qq, Set.empty[Long]).intersect(t).size.toDouble / k }
+    val mean = recalls.sum / recalls.size
+    info(f"IVF+PQ mean recall@$k = $mean%.2f (nProbe 4/16 cells, m=16 PQ)")
+    assert(mean >= 0.2, f"IVF+PQ recall $mean%.2f below floor")
+    // staleness: a content change with the same row count is detected
+    val mutated = emb.select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .map { case (id, v) => if (id == 3L) (id, v.map(x => -x)) else (id, v) }
+      .toDF("vec_id", "embedding")
+    assert(!graft.functions.IvfIndex.isCurrentCoded(spark, dir, mutated))
+    assert(!graft.functions.IvfIndex.isCurrentCoded(spark, dir, emb, m = 8))
+  }
+
   test("degenerate input fails loudly; odd dims rejected") {
     import spark.implicits._
     val empty = spark.emptyDataset[(Long, Array[Float])]
