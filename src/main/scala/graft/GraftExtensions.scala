@@ -7,9 +7,10 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 /** Session-extension entry point: the idiomatic way to ship the engine's
   * native functions to a cluster —
   * `--conf spark.sql.extensions=graft.GraftExtensions`.
-  * Injects `cosine_sim` and `simhash64` (codegen Catalyst expressions,
-  * functions/CosineSim and functions/SimHash64Expr) into every session
-  * built with the extension, no per-session register call needed. */
+  * Injects `cosine_sim`, `simhash64` and `nfc_normalize` (codegen
+  * Catalyst expressions, functions/CosineSim, functions/SimHash64Expr
+  * and functions/NfcNormalize) into every session built with the
+  * extension, no per-session register call needed. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
@@ -20,5 +21,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[graft.functions.SimHash64Expr].getName, "simhash64"),
       exprs => graft.functions.SimHash64Expr(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[graft.functions.NfcNormalize].getName, "nfc_normalize"),
+      exprs => graft.functions.NfcNormalize(exprs.head)))
   }
 }

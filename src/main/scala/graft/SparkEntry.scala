@@ -778,6 +778,124 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    "q36_robots_rules" -> ((s, dir) => {
+      // robots.txt fetchability (crawl politeness, RFC 9309 — the
+      // decision a crawl scheduler runs per URL before fetch): per doc,
+      // two synthesized robots payloads and eight path cases run
+      // through the REAL parser/evaluator (extract/Robots.scala);
+      // DuckDB states each case's expected verdict in closed form (the
+      // q33 oracle pattern). Map-side evaluation, one audit-agg
+      // shuffle; at crawl scale rules parse once per host and URLs
+      // join host-partitioned — payloads never shuffle.
+      import s.implicits._
+      import graft.extract.Robots
+      val verdicts = t(s, dir, "documents").select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions { it =>
+          it.flatMap { id =>
+            val generic =
+              s"""User-agent: *
+                 |Disallow: /private$id/
+                 |Allow: /private$id/ok/
+                 |Disallow: /*.pdf$$
+                 |Disallow: /tmp$id*
+                 |""".stripMargin
+            val withBot = generic +
+              s"""
+                 |User-agent: graftbot
+                 |Disallow: /bot-only$id/
+                 |Allow: /
+                 |""".stripMargin
+            val g = Robots.parse(generic, "graftbot") // no specific group -> *
+            val b = Robots.parse(withBot, "graftbot") // specific group only
+            Seq(
+              ("prefix_disallow", Robots.isAllowed(g, s"/private$id/x")),
+              ("allow_override", Robots.isAllowed(g, s"/private$id/ok/y")),
+              ("wildcard_pdf_anchored", Robots.isAllowed(g, s"/docs/file$id.pdf")),
+              ("anchored_no_match", Robots.isAllowed(g, s"/docs/file$id.pdfx")),
+              ("star_prefix", Robots.isAllowed(g, s"/tmp$id/junk")),
+              ("unmatched_default_allow", Robots.isAllowed(g, s"/index$id.html")),
+              ("agent_group_disallow", Robots.isAllowed(b, s"/bot-only$id/z")),
+              ("agent_group_overrides_generic", Robots.isAllowed(b, s"/private$id/x")))
+          }
+        }.toDF("kind", "allowed")
+      verdicts.groupBy(col("kind"))
+        .agg(count(lit(1)).as("n_paths"),
+          sum(when(col("allowed"), 1L).otherwise(0L)).as("n_allowed"))
+        .orderBy("kind")
+    }),
+
+    "q37_window_dedup" -> ((s, dir) => {
+      // Cross-doc exact-substring dedup marking (the Lee et al.
+      // "deduplicate training data" exact-substring pass in windowed
+      // form): every distinct 8-token window; a window occurring in >1
+      // distinct doc marks duplicated text, and per doc dup_x1000 =
+      // floor(1000 * shared/total windows). Planted partial copies
+      // (first 120 chars of every doc_id%97==0 donor, ids offset past
+      // max(doc_id)) keep the cross-doc branch non-vacuous — natural
+      // random-word docs share no 8-gram. Scale: one explode, one
+      // window-keyed distinct-doc agg, one window-keyed join back —
+      // never corpus x corpus; same family as the q28 decontamination
+      // plan.
+      val d0 = t(s, dir, "documents")
+      val plantOff = d0.agg(max(col("doc_id")).cast("long")).first().getLong(0) + 1L
+      val d = d0.select(col("doc_id").cast("long").as("doc_id"), col("lang"), col("text"))
+        .unionByName(d0.filter(col("doc_id") % 97 === 0)
+          .select((col("doc_id") + plantOff).cast("long").as("doc_id"),
+            lit("planted").as("lang"), substring(col("text"), 1, 120).as("text")))
+      val toks = split(col("text"), " ")
+      val wins = transform(sequence(lit(1), size(toks) - 7),
+        i => concat_ws(" ", slice(toks, i, lit(8))))
+      val docWins = d.filter(size(toks) >= 8)
+        .select(col("doc_id"), col("lang"), explode(array_distinct(wins)).as("w"))
+      val shared = docWins.groupBy(col("w"))
+        .agg(countDistinct(col("doc_id")).as("n_docs_with"))
+      val per = docWins.join(shared, Seq("w"))
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(count(lit(1)).as("n_windows"),
+          sum(when(col("n_docs_with") > 1, 1L).otherwise(0L)).as("n_shared"))
+        .select(col("lang"),
+          floor(lit(1000) * col("n_shared") / col("n_windows")).cast("long").as("dup_x1000"))
+      per.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("dup_x1000")).as("sum_dup_x1000"),
+          sum(when(col("dup_x1000") >= 500, 1L).otherwise(0L)).as("n_mostly_dup"))
+        .orderBy("lang")
+    }),
+
+    "q38_nfc_normalize" -> ((s, dir) => {
+      // Unicode NFC normalization as a NATIVE codegen Expression
+      // (functions/NfcNormalize — Spark has no built-in; the UDF
+      // alternative would break whole-stage codegen): crawled text
+      // mixes composed and decomposed forms of the same characters,
+      // which breaks exact dedup and string-keyed joins — NFC-first is
+      // the standard corpus pass. Planted pairs (composed vs combining-
+      // mark forms of the same string) prove the collapse: distinct
+      // raw hashes = 2x planted docs, distinct NFC hashes = 1x.
+      // Canonical mappings are frozen by Unicode stability policy, so
+      // the JVM and DuckDB's utf8proc agree — that is what makes this
+      // oracle-able. Map-only until the audit agg.
+      graft.functions.NfcNormalize.register(s)
+      val d0 = t(s, dir, "documents")
+      val planted = d0.filter(col("doc_id") < 40)
+      val d = d0.select(col("lang"), col("text"))
+        .unionByName(planted.select(lit("planted").as("lang"),
+          concat(lit("café résumé naïve "),
+            substring(col("text"), 1, 60)).as("text")))
+        // the DECOMPOSED twin: same string via combining acute/diaeresis
+        .unionByName(planted.select(lit("planted").as("lang"),
+          concat(lit("café résumé naïve "),
+            substring(col("text"), 1, 60)).as("text")))
+      d.select(col("lang"), col("text"), expr("nfc_normalize(text)").as("nfc"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("nfc") =!= col("text"), 1L).otherwise(0L)).as("n_denormalized"),
+          sum(length(col("text"))).as("sum_len_raw"),
+          sum(length(col("nfc"))).as("sum_len_nfc"),
+          countDistinct(md5(col("text").cast("binary"))).as("n_raw_distinct"),
+          countDistinct(md5(col("nfc").cast("binary"))).as("n_nfc_distinct"))
+        .orderBy("lang")
+    }),
+
     // ---- extraction pipeline (rows-only: not SQL-expressible) ----
     "x01_extract_plain" -> ((s, _) => {
       val (pagesDir, _) = microTables(s)
@@ -980,24 +1098,55 @@ object SparkEntry {
       val bf = benchGrams.stat.bloomFilter("g", math.max(1000L, benchGrams.count()), 1e-6)
       val bc = s.sparkContext.broadcast(bf)
       corpus.as[(Long, String, String)].map { case (_, lang, text) =>
-        val toks = text.split(" ")
-        var n = 0L
-        if (toks.length >= 5) {
-          val seen = scala.collection.mutable.HashSet.empty[String]
-          var i = 0
-          while (i + 5 <= toks.length) {
-            val g = toks.slice(i, i + 5).mkString(" ")
-            if (seen.add(g) && bc.value.mightContain(g)) n += 1
-            i += 1
-          }
-        }
-        (lang, n)
+        (lang, graft.functions.DecontamBloom.overlapCount(text, bc.value))
       }.toDF("lang", "n_overlap")
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"),
           sum(when(col("n_overlap") >= 3, 1L).otherwise(0L)).as("n_contaminated"),
           sum(col("n_overlap")).as("sum_overlap"))
         .orderBy("lang")
+    }),
+    "x28_stream_decontam" -> ((s, dir) => {
+      // decontamination AT THE STREAM BOUNDARY: the x24 broadcast Bloom
+      // filter applied to a streaming ingest of the documents table, so
+      // contaminated docs are flagged BEFORE entering the corpus —
+      // filtering a 100 TB corpus after the fact re-reads 100 TB;
+      // filtering the ingest stream is free. Map-only per micro-batch,
+      // state-free, same shared overlap kernel as x24
+      // (DecontamBloom.overlapCount — the two paths cannot drift).
+      val d = t(s, dir, "documents")
+      val toksCol = split(col("text"), " ")
+      val gramsCol = transform(sequence(lit(1), size(toksCol) - 4),
+        i => concat_ws(" ", slice(toksCol, i, lit(5))))
+      val benchGrams = d
+        .filter(col("doc_id") % 101 === 0 && size(split(col("text"), " ")) >= 5)
+        .select(explode(array_distinct(gramsCol)).as("g")).distinct()
+      val bf = benchGrams.stat.bloomFilter("g", math.max(1000L, benchGrams.count()), 1e-6)
+      val bc = s.sparkContext.broadcast(bf)
+      // documents.parquet is a single FILE in the testdata layout and
+      // the file stream source only accepts directories — materialize a
+      // one-time directory copy as the stream landing zone (what a real
+      // ingest dir looks like anyway)
+      val srcDir = new java.io.File(s"$SynthRoot/sdecontam_src_${math.abs(dir.hashCode)}")
+      if (!srcDir.exists()) d.write.mode("overwrite").parquet(srcDir.getAbsolutePath)
+      val stream = s.readStream.schema(d.schema)
+        .parquet(s"${srcDir.getAbsolutePath}/*.parquet")
+      val flagged = graft.streaming.StreamingExtract.decontaminateStream(stream, bc)
+      val run = s"$SynthRoot/sdecontam_${java.util.UUID.randomUUID().toString.take(8)}"
+      val q = flagged.writeStream.format("parquet")
+        .option("path", s"$run/out")
+        .option("checkpointLocation", s"$run/ckpt")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.schema("doc_id LONG, lang STRING, n_overlap LONG, contaminated BOOLEAN")
+        .parquet(s"$run/out")
+        .groupBy(col("contaminated"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_overlap")).as("sum_overlap"),
+          countDistinct(col("lang")).as("n_langs"))
+        .orderBy("contaminated")
     }),
     "x23_host_pagerank" -> ((s, _) => {
       // PageRank over the x22 host link graph (crawl-quality prior):
@@ -1723,5 +1872,68 @@ object SparkEntry {
         |  CAST(max(score) AS BIGINT) AS max_score,
         |  CAST(min(score) AS BIGINT) AS min_score
         |FROM sc GROUP BY lang ORDER BY lang""".stripMargin,
+    // q36: closed-form RFC 9309 expectations — every doc contributes one
+    // path per case kind; allowed/disallowed is fixed per kind by the
+    // spec semantics the Spark side's real evaluator implements.
+    "q36_robots_rules" ->
+      """WITH n AS (SELECT CAST(count(*) AS BIGINT) AS c FROM documents)
+        |SELECT kind, (SELECT c FROM n) AS n_paths,
+        |  CASE WHEN allowed THEN (SELECT c FROM n) ELSE CAST(0 AS BIGINT) END AS n_allowed
+        |FROM (VALUES
+        |  ('prefix_disallow', false),
+        |  ('allow_override', true),
+        |  ('wildcard_pdf_anchored', false),
+        |  ('anchored_no_match', true),
+        |  ('star_prefix', false),
+        |  ('unmatched_default_allow', true),
+        |  ('agent_group_disallow', false),
+        |  ('agent_group_overrides_generic', true)) AS t(kind, allowed)
+        |ORDER BY kind""".stripMargin,
+    "q37_window_dedup" ->
+      """WITH d AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, text FROM documents
+        |  UNION ALL
+        |  SELECT CAST(doc_id + (SELECT max(doc_id) + 1 FROM documents) AS BIGINT),
+        |    'planted', substring(text, 1, 120)
+        |  FROM documents WHERE doc_id % 97 = 0),
+        |dw AS (
+        |  SELECT doc_id, lang,
+        |    unnest(list_distinct(list_transform(range(len(string_split(text, ' ')) - 7),
+        |      i -> array_to_string(list_slice(string_split(text, ' '), i + 1, i + 8), ' ')))) AS w
+        |  FROM d WHERE len(string_split(text, ' ')) >= 8),
+        |sh AS (
+        |  SELECT w, count(DISTINCT doc_id) AS n_docs_with FROM dw GROUP BY w),
+        |per AS (
+        |  SELECT lang,
+        |    CAST(floor(1000 * CAST(sum(CASE WHEN n_docs_with > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      / count(*)) AS BIGINT) AS dup_x1000
+        |  FROM dw JOIN sh USING (w) GROUP BY doc_id, lang)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(dup_x1000) AS BIGINT) AS sum_dup_x1000,
+        |  CAST(sum(CASE WHEN dup_x1000 >= 500 THEN 1 ELSE 0 END) AS BIGINT) AS n_mostly_dup
+        |FROM per GROUP BY lang ORDER BY lang""".stripMargin,
+    // q38: DuckDB's utf8proc nfc_normalize vs the JVM Normalizer —
+    // canonical mappings are Unicode-stability-frozen, so they agree.
+    // Combining marks built via chr() so no invisible codepoints hide
+    // in this source string.
+    "q38_nfc_normalize" ->
+      """WITH d AS (
+        |  SELECT lang, text FROM documents
+        |  UNION ALL
+        |  SELECT 'planted', 'caf' || chr(233) || ' r' || chr(233) || 'sum'
+        |    || chr(233) || ' na' || chr(239) || 've ' || substring(text, 1, 60)
+        |  FROM documents WHERE doc_id < 40
+        |  UNION ALL
+        |  SELECT 'planted', 'cafe' || chr(769) || ' re' || chr(769) || 'sume'
+        |    || chr(769) || ' nai' || chr(776) || 've ' || substring(text, 1, 60)
+        |  FROM documents WHERE doc_id < 40),
+        |n AS (SELECT lang, text, nfc_normalize(text) AS nfc FROM d)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN nfc <> text THEN 1 ELSE 0 END) AS BIGINT) AS n_denormalized,
+        |  CAST(sum(length(text)) AS BIGINT) AS sum_len_raw,
+        |  CAST(sum(length(nfc)) AS BIGINT) AS sum_len_nfc,
+        |  CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_raw_distinct,
+        |  CAST(count(DISTINCT md5(nfc)) AS BIGINT) AS n_nfc_distinct
+        |FROM n GROUP BY lang ORDER BY lang""".stripMargin,
   )
 }

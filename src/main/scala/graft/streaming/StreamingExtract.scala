@@ -273,6 +273,28 @@ object StreamingExtract {
       .as[DocSig]
   }
 
+  /** Decontamination AT THE STREAM BOUNDARY: flag each arriving doc's
+    * word-5-gram overlap against a broadcast Bloom filter of benchmark
+    * grams (the x24 filter applied on ingest), so contaminated
+    * documents are split off BEFORE they ever enter the corpus — the
+    * production place for this check (filtering a 100 TB corpus after
+    * the fact re-reads 100 TB; filtering the ingest stream is free).
+    * Map-only per micro-batch, state-free, AvailableNow-safe. Input:
+    * any streaming frame with (doc_id, lang, text). */
+  def decontaminateStream(docs: DataFrame,
+      bf: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter],
+      minOverlap: Int = 3): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("lang"), col("text"))
+      .as[(Long, String, String)]
+      .map { case (id, lang, text) =>
+        val n = graft.functions.DecontamBloom.overlapCount(text, bf.value)
+        (id, lang, n, n >= minOverlap)
+      }
+      .toDF("doc_id", "lang", "n_overlap", "contaminated")
+  }
+
   /** Windowed extraction-rate monitoring over the crawl timestamps —
     * watermark + tumbling window aggregation (the streaming-native agg
     * surface; batch tests drive it with availableNow). */

@@ -26,4 +26,34 @@ class DecontamBloomSpec extends AnyFunSuite {
       .collect().map(_.toSeq).toSeq
     assert(bloom == exact)
   }
+
+  test("x28 stream-boundary decontamination equals the batch computation") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("x28_stream_decontam")(spark, dir).collect()
+      .map(r => r.getBoolean(0) -> r.getLong(1)).toMap
+    // batch-side reference: same bloom, same overlap kernel, no stream
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val toksCol = split(col("text"), " ")
+    val gramsCol = transform(sequence(lit(1), size(toksCol) - 4),
+      i => concat_ws(" ", slice(toksCol, i, lit(5))))
+    val benchGrams = d
+      .filter(col("doc_id") % 101 === 0 && size(split(col("text"), " ")) >= 5)
+      .select(explode(array_distinct(gramsCol)).as("g")).distinct()
+    val bf = benchGrams.stat.bloomFilter("g", math.max(1000L, benchGrams.count()), 1e-6)
+    val bc = spark.sparkContext.broadcast(bf)
+    val flags = d.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        (id, graft.functions.DecontamBloom.overlapCount(text, bc.value) >= 3L)
+      }.collect().toMap
+    val batchContaminated = flags.count(_._2).toLong
+    assert(rows(true) == batchContaminated, "stream must equal batch")
+    assert(rows(true) + rows(false) == d.count())
+    // the benchmark docs themselves are all flagged (their own grams)
+    val benchIds = d.filter("doc_id % 101 = 0").select(col("doc_id").cast("long"))
+      .as[Long].collect()
+    assert(benchIds.nonEmpty && benchIds.forall(flags(_)))
+  }
 }

@@ -173,6 +173,13 @@ class StreamingAndMultimodalSpec extends AnyFunSuite {
           |                  array(cast(1.0 as float), cast(0.0 as float))) AS c""".stripMargin)
         .collect()
       assert(math.abs(r.head.getDouble(0) - 1.0) < 1e-12)
+      // nfc_normalize rides the same extension: decomposed e+COMBINING
+      // ACUTE collapses to the composed codepoint (2 chars -> 1)
+      val n = s2.sql("SELECT nfc_normalize('café') AS t, length(nfc_normalize('café')) AS l")
+        .collect().head
+      assert(n.getString(0) == "café" && n.getInt(1) == 4)
+      // idempotent on already-NFC text (incl. the fast path)
+      assert(s2.sql("SELECT nfc_normalize('café') AS t").collect().head.getString(0) == "café")
     } finally {
       SparkSession.clearDefaultSession(); SparkSession.clearActiveSession()
       prevDefault.foreach(SparkSession.setDefaultSession)
