@@ -51,7 +51,8 @@ object Bench {
     "q12_ngram_jaccard", "q13_cosine_topk", "q16_token_count",
     "q17_hourly_events", "x08_minhash_lsh_pairs",
     "q27_repetition_filter", "q28_decontamination", "q30_stratified_sample",
-    "q34_packing_sharded", "q35_rare_term_idf", "x26_ann_pq")
+    "q34_packing_sharded", "q35_rare_term_idf", "x26_ann_pq",
+    "q37_window_dedup", "q38_nfc_normalize")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
