@@ -759,6 +759,11 @@ object SparkEntry {
         explode(split(col("text"), " ")).as("term"))
       val tf = terms.groupBy(col("doc_id"), col("lang"), col("term"))
         .agg(count(lit(1)).as("tf"))
+      // df as agg + join-back, DELIBERATELY not a count-over-window on
+      // term: a window buffers each key's rows in one task, and
+      // stopword terms ("the") appear in every doc — the mega-key that
+      // makes per-key windows the q32-style scale-killer. Partial
+      // aggregation absorbs that skew map-side; the join is term-keyed.
       val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       val nTotal = d.agg(count(lit(1)).as("n_docs_total"))
       val scores = tf.join(df, Seq("term"))
@@ -847,6 +852,11 @@ object SparkEntry {
         i => concat_ws(" ", slice(toks, i, lit(8))))
       val docWins = d.filter(size(toks) >= 8)
         .select(col("doc_id"), col("lang"), explode(array_distinct(wins)).as("w"))
+      // agg + join-back rather than count-over-window on w: boilerplate
+      // windows (a navbar 8-gram) occur in millions of crawl docs — a
+      // per-w window would buffer that mega-key in one task, while the
+      // partial aggregate absorbs it map-side (same reasoning as q35's
+      // df computation).
       val shared = docWins.groupBy(col("w"))
         .agg(countDistinct(col("doc_id")).as("n_docs_with"))
       val per = docWins.join(shared, Seq("w"))
