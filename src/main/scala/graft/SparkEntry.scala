@@ -906,6 +906,36 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    "q39_crawl_politeness" -> ((s, dir) => {
+      // Per-host crawl politeness audit — the fetch-scheduler feedback
+      // signal (is any host hit faster than the politeness floor?):
+      // ordered inter-arrival gaps via lag() per host, gap stats in
+      // integer millis (unix_millis and DuckDB epoch_ms both truncate
+      // micros identically), violations = gaps under the 60s floor.
+      // The window partitions by HOST — key cardinality grows WITH the
+      // data (10^8 hosts at crawl scale), the scale-safe window shape
+      // (q26's sessionization key, NOT q32's bounded-lang key); ties
+      // broken by event_id so the lag order is total.
+      val w = Window.partitionBy("host_id").orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .select(col("user_id").cast("long").as("host_id"), col("ts"),
+          col("event_id").cast("long").as("event_id"))
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .filter(col("prev_ts").isNotNull)
+        .select(col("host_id"),
+          // ts is TIMESTAMP_NTZ; the UTC session cast matches DuckDB's
+          // epoch_ms-on-naive-timestamp semantics exactly
+          (unix_millis(col("ts").cast("timestamp"))
+            - unix_millis(col("prev_ts").cast("timestamp"))).as("gap_ms"))
+        .groupBy(col("host_id"))
+        .agg(count(lit(1)).as("n_gaps"),
+          min(col("gap_ms")).as("min_gap_ms"),
+          max(col("gap_ms")).as("max_gap_ms"),
+          sum(col("gap_ms")).as("sum_gap_ms"),
+          sum(when(col("gap_ms") < 60000L, 1L).otherwise(0L)).as("n_violations"))
+        .orderBy("host_id")
+    }),
+
     // ---- extraction pipeline (rows-only: not SQL-expressible) ----
     "x01_extract_plain" -> ((s, _) => {
       val (pagesDir, _) = microTables(s)
@@ -1945,5 +1975,22 @@ object SparkEntry {
         |  CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_raw_distinct,
         |  CAST(count(DISTINCT md5(nfc)) AS BIGINT) AS n_nfc_distinct
         |FROM n GROUP BY lang ORDER BY lang""".stripMargin,
+    "q39_crawl_politeness" ->
+      """WITH e AS (
+        |  SELECT CAST(user_id AS BIGINT) AS host_id, ts,
+        |    CAST(event_id AS BIGINT) AS event_id
+        |  FROM events),
+        |g AS (
+        |  SELECT host_id,
+        |    epoch_ms(ts) - epoch_ms(lag(ts) OVER (
+        |      PARTITION BY host_id ORDER BY ts, event_id)) AS gap_ms
+        |  FROM e)
+        |SELECT host_id, count(*) AS n_gaps,
+        |  CAST(min(gap_ms) AS BIGINT) AS min_gap_ms,
+        |  CAST(max(gap_ms) AS BIGINT) AS max_gap_ms,
+        |  CAST(sum(gap_ms) AS BIGINT) AS sum_gap_ms,
+        |  CAST(sum(CASE WHEN gap_ms < 60000 THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+        |FROM g WHERE gap_ms IS NOT NULL
+        |GROUP BY host_id ORDER BY host_id""".stripMargin,
   )
 }
