@@ -936,6 +936,39 @@ object SparkEntry {
         .orderBy("host_id")
     }),
 
+    "q40_sitemap_parse" -> ((s, dir) => {
+      // Sitemap parsing (crawl seeding, sitemaps.org — the companion of
+      // q36's robots rules): per doc a synthesized urlset with lastmod,
+      // an entity-encoded query loc, a CDATA loc, comment noise and a
+      // locless entry runs through the REAL tokenizer-based parser
+      // (extract/Sitemaps); DuckDB states the expected frontier entries
+      // in closed form. Map-side parse, one audit-agg shuffle.
+      import s.implicits._
+      val entries = t(s, dir, "documents").select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions { it =>
+          it.flatMap { id =>
+            val xml =
+              s"""<?xml version="1.0" encoding="UTF-8"?>
+                 |<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+                 |  <!-- generated fixture $id -->
+                 |  <url><loc>https://s$id.example.com/a</loc><lastmod>2024-01-0${1 + id % 9}</lastmod></url>
+                 |  <url><loc>https://s$id.example.com/b?x=1&amp;y=2</loc></url>
+                 |  <url><loc><![CDATA[https://s$id.example.com/c]]></loc><lastmod>2024-02-11</lastmod></url>
+                 |  <url><priority>0.5</priority></url>
+                 |</urlset>""".stripMargin
+            graft.extract.Sitemaps.parse(xml.getBytes("UTF-8"))
+              .map(e => (id % 10, e.loc, e.lastmod))
+          }
+        }.toDF("grp", "loc", "lastmod")
+      entries.groupBy(col("grp"))
+        .agg(count(lit(1)).as("n_entries"),
+          sum(when(col("lastmod") =!= "", 1L).otherwise(0L)).as("n_with_lastmod"),
+          countDistinct(col("lastmod")).as("n_distinct_lastmod"),
+          min(col("loc")).as("min_loc"),
+          max(col("loc")).as("max_loc"))
+        .orderBy("grp")
+    }),
+
     // ---- extraction pipeline (rows-only: not SQL-expressible) ----
     "x01_extract_plain" -> ((s, _) => {
       val (pagesDir, _) = microTables(s)
@@ -1992,5 +2025,22 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN gap_ms < 60000 THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
         |FROM g WHERE gap_ms IS NOT NULL
         |GROUP BY host_id ORDER BY host_id""".stripMargin,
+    // q40: closed-form expected frontier entries per doc (the entity in
+    // loc b decodes, the CDATA body of loc c extracts, the locless
+    // fourth entry drops).
+    "q40_sitemap_parse" ->
+      """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
+        |e AS (
+        |  SELECT id % 10 AS grp, 'https://s' || id || '.example.com/a' AS loc,
+        |    '2024-01-0' || CAST(1 + id % 9 AS VARCHAR) AS lastmod FROM d
+        |  UNION ALL
+        |  SELECT id % 10, 'https://s' || id || '.example.com/b?x=1&y=2', '' FROM d
+        |  UNION ALL
+        |  SELECT id % 10, 'https://s' || id || '.example.com/c', '2024-02-11' FROM d)
+        |SELECT grp, count(*) AS n_entries,
+        |  CAST(sum(CASE WHEN lastmod <> '' THEN 1 ELSE 0 END) AS BIGINT) AS n_with_lastmod,
+        |  CAST(count(DISTINCT lastmod) AS BIGINT) AS n_distinct_lastmod,
+        |  min(loc) AS min_loc, max(loc) AS max_loc
+        |FROM e GROUP BY grp ORDER BY grp""".stripMargin,
   )
 }
