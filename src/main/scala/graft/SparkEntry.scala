@@ -969,6 +969,340 @@ object SparkEntry {
         .orderBy("grp")
     }),
 
+    "q41_boilerplate_lines" -> ((s, dir) => {
+      // Per-host template (boilerplate) line removal — the CROSS-page
+      // companion of the in-page DOM block classifier: a rendered page
+      // is navbar + content + footer, and a line repeated across >=60%
+      // of a host's pages is template, not content (the cross-document
+      // pass CCNet/trafilatura run after per-page extraction). Pages
+      // are synthesized from documents as host-templated line stacks:
+      // shared header/nav/footer per host (must strip), a ~1/3-
+      // frequency promo line (below threshold — must SURVIVE), and the
+      // doc body (unique — survives). Scale shape: line frequency aggs
+      // by (host, line) — cardinality grows with the corpus, and the
+      // map-side partial agg absorbs the shared-template mega-lines;
+      // the join-back ships only each host's qualifying template set
+      // (small by the >=60% threshold) on the host key, whose
+      // cardinality also grows with data. No bounded-key window, no
+      // corpus x corpus.
+      val pages = t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"),
+          col("source").as("host"), col("lang"),
+          concat_ws("\n",
+            concat(lit("=== "), col("source"), lit(" home news about ===")),
+            concat(lit("nav: "), col("source"), lit("/index")),
+            when(col("doc_id") % 3 === 0,
+              concat(lit("promo: visit "), col("source")))
+              .otherwise(concat(lit("doc "), col("doc_id").cast("string"))),
+            col("text"),
+            concat(lit("(c) 2024 "), col("source"))).as("page_text"))
+      val wl = pages.withColumn("lines", split(col("page_text"), "\n"))
+      val ex = wl.select(col("doc_id"), col("host"),
+        explode(array_distinct(col("lines"))).as("line"))
+      val hostDocs = pages.groupBy(col("host"))
+        .agg(countDistinct(col("doc_id")).as("host_docs"))
+      val freq = ex.groupBy(col("host"), col("line"))
+        .agg(countDistinct(col("doc_id")).as("n_docs_with"))
+      val boiler = freq.join(hostDocs, Seq("host"))
+        .filter(col("n_docs_with") * 10 >= col("host_docs") * 6 &&
+          col("host_docs") >= 3)
+        .groupBy(col("host"))
+        .agg(sort_array(collect_list(col("line"))).as("bset"),
+          count(lit(1)).as("nb"))
+      val emptySet = array().cast("array<string>")
+      val cleaned = wl.join(boiler, Seq("host"), "left")
+        .select(col("host"), col("lines"),
+          coalesce(col("nb"), lit(0L)).as("n_boiler_lines"),
+          filter(col("lines"),
+            l => !array_contains(coalesce(col("bset"), emptySet), l)).as("kept"))
+      cleaned.groupBy(col("host"))
+        .agg(count(lit(1)).as("n_docs"),
+          max(col("n_boiler_lines")).as("n_boiler_lines"),
+          sum(size(col("lines"))).cast("long").as("sum_lines_raw"),
+          sum(size(col("kept"))).cast("long").as("sum_lines_kept"),
+          sum(length(concat_ws("\n", col("kept")))).cast("long").as("sum_chars_kept"),
+          countDistinct(md5(concat_ws("\n", col("kept")).cast("binary")))
+            .as("n_distinct_clean"))
+        .orderBy("host")
+    }),
+
+    "q42_snapshot_delta" -> ((s, dir) => {
+      // Crawl snapshot delta — the Iceberg-snapshot-diff analog that
+      // drives INCREMENTAL extraction (the resume story's batch half):
+      // two crawl snapshots full-outer-join on url, rows classify as
+      // added / removed / changed / unchanged by content hash, and the
+      // re-extract set is added+changed — at 10^12 urls you re-run the
+      // extractor over that delta, not the crawl. Snapshot B is
+      // synthesized deterministically from A: %7 docs changed text,
+      // %13 docs dropped, %11 docs spawn a new url. Scale: one
+      // url-hash-keyed full outer join (url cardinality grows with the
+      // data), md5 compare map-side, then a lang-keyed audit agg.
+      val a0 = t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"), col("lang"),
+          col("source"), col("text"))
+      def url(c: Column): Column =
+        concat(lit("https://"), col("source"), lit(".example.com/p"), c.cast("string"))
+      val snapA = a0.select(url(col("doc_id")).as("url"), col("lang"),
+        md5(col("text").cast("binary")).as("h_a"))
+      val snapB = a0.filter(col("doc_id") % 13 =!= 0)
+        .select(url(col("doc_id")).as("url"), col("lang"),
+          md5(when(col("doc_id") % 7 === 0, concat(col("text"), lit(" updated v2")))
+            .otherwise(col("text")).cast("binary")).as("h_b"))
+        .unionByName(a0.filter(col("doc_id") % 11 === 0)
+          .select(concat(lit("https://"), col("source"), lit(".example.com/new"),
+            col("doc_id").cast("string")).as("url"), col("lang"),
+            md5(concat(lit("new "), col("text")).cast("binary")).as("h_b")))
+      snapA.withColumnRenamed("lang", "lang_a")
+        .join(snapB.withColumnRenamed("lang", "lang_b"), Seq("url"), "full_outer")
+        .select(coalesce(col("lang_a"), col("lang_b")).as("lang"),
+          when(col("h_a").isNull, "added")
+            .when(col("h_b").isNull, "removed")
+            .when(col("h_a") =!= col("h_b"), "changed")
+            .otherwise("unchanged").as("status"))
+        .groupBy(col("lang"))
+        .agg(sum(when(col("status") === "added", 1L).otherwise(0L)).as("n_added"),
+          sum(when(col("status") === "removed", 1L).otherwise(0L)).as("n_removed"),
+          sum(when(col("status") === "changed", 1L).otherwise(0L)).as("n_changed"),
+          sum(when(col("status") === "unchanged", 1L).otherwise(0L)).as("n_unchanged"),
+          sum(when(col("status") === "added" || col("status") === "changed", 1L)
+            .otherwise(0L)).as("n_reextract"))
+        .orderBy("lang")
+    }),
+
+    "q43_cluster_retention" -> ((s, dir) => {
+      // Dedup-cluster canonical retention — the pipeline stage AFTER
+      // q25's clustering: each near-dup cluster keeps exactly its
+      // min-doc_id member (the deterministic canonical choice) and
+      // drops the rest; the audit reports per-lang retention and the
+      // chars saved. Same planted chain edges as q25 (multi-hop, so
+      // label propagation must iterate); connectedComponents labels ARE
+      // the min id per component, so retained == (doc_id == cluster) —
+      // no second argmin shuffle needed. Scale: CC is one shuffle per
+      // hop with reliable-checkpoint conf; the label join-back is
+      // doc_id-keyed.
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"), col("lang"),
+          col("n_chars").cast("long").as("n_chars"))
+      val nodes = docs.filter(col("doc_id") % 10 <= 5)
+      val edges = nodes.select(col("doc_id").as("doc_a"))
+        .filter(col("doc_a") % 10 < 4)
+        .join(nodes.select(col("doc_id").as("doc_b")),
+          col("doc_b") === col("doc_a") + 1)
+      val labels = graft.functions.TextSketch.connectedComponents(edges)
+      nodes.join(labels, nodes("doc_id") === labels("id"), "left")
+        .select(col("lang"), col("n_chars"), nodes("doc_id"),
+          coalesce(col("label"), nodes("doc_id")).as("cluster"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("cluster")).as("n_clusters_touched"),
+          sum(when(col("doc_id") === col("cluster"), 1L).otherwise(0L)).as("n_retained"),
+          sum(when(col("doc_id") =!= col("cluster"), 1L).otherwise(0L)).as("n_dropped"),
+          sum(when(col("doc_id") === col("cluster"), col("n_chars"))
+            .otherwise(0L)).as("chars_retained"),
+          sum(when(col("doc_id") =!= col("cluster"), col("n_chars"))
+            .otherwise(0L)).as("chars_dropped"))
+        .orderBy("lang")
+    }),
+
+    "q44_bm25_topk" -> ((s, dir) => {
+      // BM25 top-k retrieval — the quality-filter counterpart of q35's
+      // IDF scoring, in full BM25 form (k1=1.2, b=0.75) with the same
+      // rational idf surrogate (N-df+0.5)/(df+0.5) so no ln() enters
+      // the arithmetic (q35's bit-exactness argument: + * / are IEEE-
+      // identical cross-engine, log's last ulp is not). Floats stay
+      // bit-exact because every double derives from integer tf/df/dl/N
+      // through ONE fixed expression tree, and the per-query score sums
+      // exactly two term contributions in written order — never a
+      // float aggregate. Scale shape: the inverted-index build
+      // (explode tokens, keep query vocabulary only — the IN filter
+      // applies before the shuffle) keys by (doc, term); df's agg
+      // absorbs mega-terms map-side; ranking is the bounded TopKAgg,
+      // not a per-query window sort.
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"),
+          split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), col("toks"), size(col("toks")).cast("long").as("dl"))
+      val queryTerms = Seq((1L, "spark", 1), (1L, "window", 2),
+        (2L, "merge", 1), (2L, "key", 2), (3L, "vector", 1), (3L, "batch", 2))
+        .toDF("query_id", "term", "tidx")
+      val vocab = queryTerms.select(col("term")).distinct()
+      val corpus = docs.agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("dl")).cast("long").as("sum_dl"))
+      val tf = docs.select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+        .join(broadcast(vocab), Seq("term"))
+        .groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).cast("long").as("tf"), first(col("dl")).as("dl"))
+      val df_ = tf.groupBy(col("term"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+      val contrib = tf.join(broadcast(df_), Seq("term"))
+        .crossJoin(broadcast(corpus))
+        .select(col("doc_id"), col("term"),
+          // idf surrogate and tf saturation: one fixed expression tree
+          // over integer inputs -> bit-identical in DuckDB
+          (((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+            ((col("tf") * lit(2.2)) /
+              (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) *
+                (col("dl") / (col("sum_dl").cast("double") / col("n_docs"))))))
+            ).as("c"))
+      val scored = contrib.join(broadcast(queryTerms), Seq("term"))
+        .groupBy(col("query_id"), col("doc_id"))
+        .agg(max(when(col("tidx") === 1, col("c"))).as("c1"),
+          max(when(col("tidx") === 2, col("c"))).as("c2"))
+        .select(col("query_id"), col("doc_id").as("id"),
+          (coalesce(col("c1"), lit(0.0)) + coalesce(col("c2"), lit(0.0))).as("score"))
+      graft.functions.TopK.perQuery(scored, 5)
+        .select(col("query_id"), col("rank"), col("id").as("doc_id"),
+          floor(col("score") * 1e6).cast("long").as("score_x1e6"))
+        .orderBy("query_id", "rank")
+    }),
+
+    "q45_script_mix" -> ((s, dir) => {
+      // Unicode script histogram + mixed-script detection — the
+      // homoglyph-spoof / wrong-script-spam signal every crawl filter
+      // stack carries: per-doc char counts by script (Latin, Cyrillic,
+      // Han, Greek) via script-property character classes, docs mixing
+      // >= 2 non-trivial scripts flagged. Java's \p{IsXxx} and RE2's
+      // \p{Xxx} agree on these scripts (stable BMP assignments).
+      // Planted spoof docs (%17: Cyrillic+Han+Greek suffix) keep the
+      // mixed branch non-vacuous on an otherwise-Latin corpus.
+      // Map-only until the lang-keyed audit agg.
+      val d = t(s, dir, "documents")
+      def nScript(c: Column, javaClass: String): Column =
+        length(c) - length(regexp_replace(c, s"[\\p{$javaClass}]", ""))
+      val withPlant = d.select(col("lang"),
+        when(col("doc_id") % 17 === 0,
+          concat(col("text"), lit(" пример 漢字測試 παράδειγμα")))
+          .otherwise(col("text")).as("text"))
+      val counted = withPlant.select(col("lang"),
+        nScript(col("text"), "IsLatin").as("n_latin"),
+        nScript(col("text"), "IsCyrillic").as("n_cyr"),
+        nScript(col("text"), "IsHan").as("n_han"),
+        nScript(col("text"), "IsGreek").as("n_greek"))
+      def pos(c: Column): Column = when(c > 0, 1).otherwise(0)
+      counted.select(col("lang"), col("n_latin"), col("n_cyr"), col("n_han"),
+          col("n_greek"),
+          (pos(col("n_latin")) + pos(col("n_cyr")) + pos(col("n_han")) +
+            pos(col("n_greek"))).as("n_scripts"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_latin")).cast("long").as("sum_latin"),
+          sum(col("n_cyr")).cast("long").as("sum_cyr"),
+          sum(col("n_han")).cast("long").as("sum_han"),
+          sum(col("n_greek")).cast("long").as("sum_greek"),
+          sum(when(col("n_scripts") >= 2, 1L).otherwise(0L)).as("n_mixed"))
+        .orderBy("lang")
+    }),
+
+    "q46_host_len_percentiles" -> ((s, dir) => {
+      // Per-host document-length percentiles (discrete, ceil-rank
+      // semantics) — the crawl-health dashboard statistic behind "is
+      // this host serving truncated pages". Integer-exact by
+      // construction: rank k_p = ceil(p*n) computed as (a*n + b) DIV c
+      // in integer arithmetic, the selected value is an actual n_chars
+      // — no float interpolation to diverge cross-engine. Scale shape:
+      // the window partitions by HOST (cardinality grows with the
+      // data, per-host rows bounded by politeness) — the q39/q26 key
+      // shape, not q32's bounded-lang key.
+      val w = Window.partitionBy("host").orderBy(col("n_chars"), col("doc_id"))
+      t(s, dir, "documents")
+        .select(col("source").as("host"), col("doc_id").cast("long").as("doc_id"),
+          col("n_chars").cast("long").as("n_chars"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("host")))
+        .groupBy(col("host"))
+        .agg(count(lit(1)).as("n_docs"),
+          max(when(col("rn") === expr("(n + 3) div 4"), col("n_chars"))).as("p25"),
+          max(when(col("rn") === expr("(n + 1) div 2"), col("n_chars"))).as("p50"),
+          max(when(col("rn") === expr("(n * 9 + 9) div 10"), col("n_chars"))).as("p90"))
+        .orderBy("host")
+    }),
+
+    "q47_paragraph_dedup" -> ((s, dir) => {
+      // Paragraph-level exact dedup (the Dolma/RefinedWeb pass between
+      // url-level and substring-level dedup): a paragraph duplicated
+      // across docs survives ONLY in its min-doc_id occurrence; every
+      // doc rebuilds from its kept paragraphs in original order. Pages
+      // synthesize as body + a 5-way-shared "common paragraph" + a
+      // per-host notice, so the global-pool and host-pool dup branches
+      // and the unique-body branch are all non-vacuous. Scale: first-
+      // seen is a paragraph-HASH-keyed min agg (the shuffle key is a
+      // 16-byte digest, not the paragraph bytes) + hash-keyed join
+      // back; the universal-boilerplate mega-paragraph is absorbed by
+      // map-side partial agg (q37/q41 family). Rebuild is an order-
+      // preserving array filter — no window, no re-sort.
+      val pages = t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"), col("lang"),
+          concat_ws("\n\n", col("text"),
+            concat(lit("common paragraph "), (col("doc_id") % 5).cast("string")),
+            concat(lit("host notice "), col("source"))).as("page_text"))
+      val wl = pages.withColumn("paras", split(col("page_text"), "\n\n"))
+      val ex = wl.select(col("doc_id"),
+          explode(array_distinct(col("paras"))).as("para"))
+        .withColumn("h", md5(col("para").cast("binary")))
+      val firstSeen = ex.groupBy(col("h")).agg(min(col("doc_id")).as("first_doc"))
+      val drops = ex.join(firstSeen, Seq("h"))
+        .filter(col("first_doc") =!= col("doc_id"))
+        .groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(col("para"))).as("dropset"))
+      val emptySet = array().cast("array<string>")
+      val cleaned = wl.join(drops, Seq("doc_id"), "left")
+        .select(col("lang"), col("paras"),
+          filter(col("paras"),
+            p => !array_contains(coalesce(col("dropset"), emptySet), p)).as("kept"))
+      cleaned.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(col("paras"))).cast("long").as("sum_paras_raw"),
+          sum(size(col("kept"))).cast("long").as("sum_paras_kept"),
+          sum(length(concat_ws("\n\n", col("kept")))).cast("long").as("sum_chars_kept"),
+          countDistinct(md5(concat_ws("\n\n", col("kept")).cast("binary")))
+            .as("n_distinct_clean"))
+        .orderBy("lang")
+    }),
+
+    "q48_frontier_filter" -> ((s, dir) => {
+      // Crawl-frontier construction — the integration of q40's sitemap
+      // parse with q36's robots evaluation (exactly what a fetch
+      // scheduler does between seed discovery and enqueue): per host,
+      // parse the sitemap, extract each loc's path, keep only robots-
+      // allowed paths. Both parsers are the REAL kernels
+      // (extract/Sitemaps, extract/Robots); DuckDB states the expected
+      // allowed frontier in closed form. At crawl scale robots parse
+      // once per host and sitemap entries stream map-side — zero
+      // shuffle before the audit agg.
+      import s.implicits._
+      val rows = t(s, dir, "documents").select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions { it =>
+          it.flatMap { id =>
+            val xml =
+              s"""<?xml version="1.0"?>
+                 |<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+                 |  <url><loc>https://h$id.example.com/a$id</loc></url>
+                 |  <url><loc>https://h$id.example.com/private$id/secret</loc></url>
+                 |  <url><loc>https://h$id.example.com/private$id/ok/page</loc></url>
+                 |  <url><loc>https://h$id.example.com/report$id.pdf</loc></url>
+                 |</urlset>""".stripMargin
+            val robots =
+              s"""User-agent: *
+                 |Disallow: /private$id/
+                 |Allow: /private$id/ok/
+                 |Disallow: /*.pdf$$
+                 |""".stripMargin
+            val rules = graft.extract.Robots.parse(robots, "graftbot")
+            graft.extract.Sitemaps.parse(xml.getBytes("UTF-8")).map { e =>
+              val path = e.loc.replaceFirst("^https://[^/]+", "")
+              (id % 10, e.loc, if (graft.extract.Robots.isAllowed(rules, path)) 1L else 0L)
+            }
+          }
+        }.toDF("grp", "loc", "allowed")
+      rows.groupBy(col("grp"))
+        .agg(count(lit(1)).as("n_entries"),
+          sum(col("allowed")).as("n_allowed"),
+          min(when(col("allowed") === 1, col("loc"))).as("min_allowed_loc"),
+          max(when(col("allowed") === 1, col("loc"))).as("max_allowed_loc"))
+        .orderBy("grp")
+    }),
+
     // ---- extraction pipeline (rows-only: not SQL-expressible) ----
     "x01_extract_plain" -> ((s, _) => {
       val (pagesDir, _) = microTables(s)
@@ -1338,6 +1672,21 @@ object SparkEntry {
           countDistinct(col("hash")).as("n_hashes"),
           sum(col("prior_count")).as("sum_prior"))
         .orderBy("first_seen")
+    }),
+    "x29_bpe_merges" -> ((s, dir) => {
+      // distributed BPE merge learning over the corpus vocabulary (the
+      // tokenizer-training stage): word frequencies from one agg, then
+      // k greedy argmax rounds — deterministic tie-break makes the
+      // merge table partitioning-invariant (BpeSpec pins it against
+      // the single-threaded reference bit-for-bit).
+      import s.implicits._
+      val words = t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      graft.functions.Bpe.learnMerges(s, words, 12).toDF()
+        .select(col("rank"), col("left"), col("right"), col("pair_count"))
+        .orderBy("rank")
     }),
     "x16_warc_ingest" -> ((s, _) => {
       // Common-Crawl-native ingest: synthesize WARC captures (one gzip,
@@ -2041,6 +2390,225 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN lastmod <> '' THEN 1 ELSE 0 END) AS BIGINT) AS n_with_lastmod,
         |  CAST(count(DISTINCT lastmod) AS BIGINT) AS n_distinct_lastmod,
         |  min(loc) AS min_loc, max(loc) AS max_loc
+        |FROM e GROUP BY grp ORDER BY grp""".stripMargin,
+    // q41: list_contains(NULL-coalesced set) mirrors the Spark
+    // array_contains over an empty typed array; array_to_string on a
+    // possibly-empty kept list still yields '' here because every page
+    // keeps at least its unique body line.
+    "q41_boilerplate_lines" ->
+      """WITH pages AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS doc_id, source AS host, lang,
+        |    '=== ' || source || ' home news about ===' || chr(10) ||
+        |    'nav: ' || source || '/index' || chr(10) ||
+        |    CASE WHEN doc_id % 3 = 0 THEN 'promo: visit ' || source
+        |         ELSE 'doc ' || CAST(doc_id AS VARCHAR) END || chr(10) ||
+        |    text || chr(10) ||
+        |    '(c) 2024 ' || source AS page_text
+        |  FROM documents),
+        |wl AS (SELECT doc_id, host, string_split(page_text, chr(10)) AS lines FROM pages),
+        |ex AS (SELECT doc_id, host, unnest(list_distinct(lines)) AS line FROM wl),
+        |hd AS (SELECT host, count(DISTINCT doc_id) AS host_docs FROM pages GROUP BY host),
+        |freq AS (SELECT host, line, count(DISTINCT doc_id) AS n_docs_with
+        |  FROM ex GROUP BY host, line),
+        |boiler AS (
+        |  SELECT f.host, list_sort(list(f.line)) AS bset, count(*) AS nb
+        |  FROM freq f JOIN hd USING (host)
+        |  WHERE f.n_docs_with * 10 >= hd.host_docs * 6 AND hd.host_docs >= 3
+        |  GROUP BY f.host),
+        |cleaned AS (
+        |  SELECT wl.host, wl.lines,
+        |    CAST(coalesce(b.nb, 0) AS BIGINT) AS n_boiler_lines,
+        |    list_filter(wl.lines,
+        |      l -> NOT list_contains(coalesce(b.bset, CAST([] AS VARCHAR[])), l)) AS kept
+        |  FROM wl LEFT JOIN boiler b USING (host))
+        |SELECT host, count(*) AS n_docs,
+        |  CAST(max(n_boiler_lines) AS BIGINT) AS n_boiler_lines,
+        |  CAST(sum(len(lines)) AS BIGINT) AS sum_lines_raw,
+        |  CAST(sum(len(kept)) AS BIGINT) AS sum_lines_kept,
+        |  CAST(sum(length(coalesce(array_to_string(kept, chr(10)), ''))) AS BIGINT) AS sum_chars_kept,
+        |  CAST(count(DISTINCT md5(coalesce(array_to_string(kept, chr(10)), ''))) AS BIGINT) AS n_distinct_clean
+        |FROM cleaned GROUP BY host ORDER BY host""".stripMargin,
+    "q42_snapshot_delta" ->
+      """WITH a0 AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, source, text FROM documents),
+        |snap_a AS (
+        |  SELECT 'https://' || source || '.example.com/p' || CAST(doc_id AS VARCHAR) AS url,
+        |    lang AS lang_a, md5(text) AS h_a FROM a0),
+        |snap_b AS (
+        |  SELECT 'https://' || source || '.example.com/p' || CAST(doc_id AS VARCHAR) AS url,
+        |    lang AS lang_b,
+        |    md5(CASE WHEN doc_id % 7 = 0 THEN text || ' updated v2' ELSE text END) AS h_b
+        |  FROM a0 WHERE doc_id % 13 <> 0
+        |  UNION ALL
+        |  SELECT 'https://' || source || '.example.com/new' || CAST(doc_id AS VARCHAR),
+        |    lang, md5('new ' || text) FROM a0 WHERE doc_id % 11 = 0),
+        |j AS (
+        |  SELECT coalesce(lang_a, lang_b) AS lang,
+        |    CASE WHEN h_a IS NULL THEN 'added'
+        |         WHEN h_b IS NULL THEN 'removed'
+        |         WHEN h_a <> h_b THEN 'changed'
+        |         ELSE 'unchanged' END AS status
+        |  FROM snap_a FULL OUTER JOIN snap_b USING (url))
+        |SELECT lang,
+        |  CAST(sum(CASE WHEN status = 'added' THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+        |  CAST(sum(CASE WHEN status = 'removed' THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+        |  CAST(sum(CASE WHEN status = 'changed' THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+        |  CAST(sum(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged,
+        |  CAST(sum(CASE WHEN status IN ('added', 'changed') THEN 1 ELSE 0 END) AS BIGINT) AS n_reextract
+        |FROM j GROUP BY lang ORDER BY lang""".stripMargin,
+    "q43_cluster_retention" ->
+      """WITH RECURSIVE docs AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+        |    CAST(n_chars AS BIGINT) AS n_chars FROM documents),
+        |nodes AS (SELECT doc_id AS id, lang, n_chars FROM docs WHERE doc_id % 10 <= 5),
+        |e0 AS (
+        |  SELECT a.id AS src, b.id AS dst FROM nodes a JOIN nodes b ON b.id = a.id + 1
+        |  WHERE a.id % 10 < 4),
+        |edges AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+        |reach(id, label) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id),
+        |lab AS (SELECT id, min(label) AS cluster FROM reach GROUP BY id)
+        |SELECT n.lang, count(*) AS n_docs,
+        |  CAST(count(DISTINCT l.cluster) AS BIGINT) AS n_clusters_touched,
+        |  CAST(sum(CASE WHEN n.id = l.cluster THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+        |  CAST(sum(CASE WHEN n.id <> l.cluster THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+        |  CAST(sum(CASE WHEN n.id = l.cluster THEN n.n_chars ELSE 0 END) AS BIGINT) AS chars_retained,
+        |  CAST(sum(CASE WHEN n.id <> l.cluster THEN n.n_chars ELSE 0 END) AS BIGINT) AS chars_dropped
+        |FROM nodes n JOIN lab l USING (id)
+        |GROUP BY n.lang ORDER BY n.lang""".stripMargin,
+    // q44: every float literal is CAST(... AS DOUBLE) so DuckDB never
+    // routes through DECIMAL arithmetic — the Spark side's lit(2.2) is a
+    // double, and bit-exactness needs the identical IEEE tree.
+    "q44_bm25_topk" ->
+      """WITH d2 AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS doc_id, string_split(text, ' ') AS toks,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+        |  FROM documents),
+        |qt(query_id, term, tidx) AS (
+        |  SELECT * FROM (VALUES (1, 'spark', 1), (1, 'window', 2), (2, 'merge', 1),
+        |    (2, 'key', 2), (3, 'vector', 1), (3, 'batch', 2)) v),
+        |corpus AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl
+        |  FROM d2),
+        |tf AS (
+        |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf, min(dl) AS dl
+        |  FROM (SELECT doc_id, dl, unnest(toks) AS term FROM d2) x
+        |  WHERE term IN (SELECT DISTINCT term FROM qt)
+        |  GROUP BY doc_id, term),
+        |dfq AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM tf GROUP BY term),
+        |contrib AS (
+        |  SELECT tf.doc_id, tf.term,
+        |    ((n_docs - df + CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE))) *
+        |    ((tf * CAST(2.2 AS DOUBLE)) / (tf + CAST(1.2 AS DOUBLE) *
+        |      (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) *
+        |        (dl / (CAST(sum_dl AS DOUBLE) / n_docs))))) AS c
+        |  FROM tf JOIN dfq USING (term) CROSS JOIN corpus),
+        |scored AS (
+        |  SELECT query_id, doc_id,
+        |    coalesce(max(CASE WHEN tidx = 1 THEN c END), CAST(0.0 AS DOUBLE))
+        |      + coalesce(max(CASE WHEN tidx = 2 THEN c END), CAST(0.0 AS DOUBLE)) AS score
+        |  FROM contrib JOIN qt USING (term) GROUP BY query_id, doc_id),
+        |r AS (
+        |  SELECT query_id, doc_id, score,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
+        |  FROM scored)
+        |SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rnk AS BIGINT) AS rank,
+        |  doc_id, CAST(floor(score * CAST(1000000.0 AS DOUBLE)) AS BIGINT) AS score_x1e6
+        |FROM r WHERE rnk <= 5 ORDER BY query_id, rank""".stripMargin,
+    // q45: RE2 script classes \p{Xxx} match Java's \p{IsXxx} on these
+    // four scripts (stable BMP assignments).
+    "q45_script_mix" ->
+      """WITH d AS (
+        |  SELECT lang,
+        |    CASE WHEN doc_id % 17 = 0
+        |      THEN text || ' ' || chr(1087) || chr(1088) || chr(1080) || chr(1084)
+        |        || chr(1077) || chr(1088) || ' ' || chr(28450) || chr(23383)
+        |        || chr(28204) || chr(35430) || ' ' || chr(960) || chr(945)
+        |        || chr(961) || chr(940) || chr(948) || chr(949) || chr(953)
+        |        || chr(947) || chr(956) || chr(945)
+        |      ELSE text END AS text
+        |  FROM documents),
+        |c AS (
+        |  SELECT lang,
+        |    length(text) - length(regexp_replace(text, '[\p{Latin}]', '', 'g')) AS n_latin,
+        |    length(text) - length(regexp_replace(text, '[\p{Cyrillic}]', '', 'g')) AS n_cyr,
+        |    length(text) - length(regexp_replace(text, '[\p{Han}]', '', 'g')) AS n_han,
+        |    length(text) - length(regexp_replace(text, '[\p{Greek}]', '', 'g')) AS n_greek
+        |  FROM d),
+        |f AS (
+        |  SELECT lang, n_latin, n_cyr, n_han, n_greek,
+        |    (CASE WHEN n_latin > 0 THEN 1 ELSE 0 END) + (CASE WHEN n_cyr > 0 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN n_han > 0 THEN 1 ELSE 0 END) + (CASE WHEN n_greek > 0 THEN 1 ELSE 0 END) AS n_scripts
+        |  FROM c)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_latin) AS BIGINT) AS sum_latin,
+        |  CAST(sum(n_cyr) AS BIGINT) AS sum_cyr,
+        |  CAST(sum(n_han) AS BIGINT) AS sum_han,
+        |  CAST(sum(n_greek) AS BIGINT) AS sum_greek,
+        |  CAST(sum(CASE WHEN n_scripts >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_mixed
+        |FROM f GROUP BY lang ORDER BY lang""".stripMargin,
+    "q46_host_len_percentiles" ->
+      """WITH d AS (
+        |  SELECT source AS host, CAST(doc_id AS BIGINT) AS doc_id,
+        |    CAST(n_chars AS BIGINT) AS n_chars
+        |  FROM documents),
+        |r AS (
+        |  SELECT host, n_chars,
+        |    CAST(row_number() OVER (PARTITION BY host ORDER BY n_chars, doc_id) AS BIGINT) AS rn,
+        |    CAST(count(*) OVER (PARTITION BY host) AS BIGINT) AS n
+        |  FROM d)
+        |SELECT host, count(*) AS n_docs,
+        |  CAST(max(CASE WHEN rn = (n + 3) // 4 THEN n_chars END) AS BIGINT) AS p25,
+        |  CAST(max(CASE WHEN rn = (n + 1) // 2 THEN n_chars END) AS BIGINT) AS p50,
+        |  CAST(max(CASE WHEN rn = (n * 9 + 9) // 10 THEN n_chars END) AS BIGINT) AS p90
+        |FROM r GROUP BY host ORDER BY host""".stripMargin,
+    "q47_paragraph_dedup" ->
+      """WITH pages AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+        |    text || chr(10) || chr(10) || 'common paragraph ' || CAST(doc_id % 5 AS VARCHAR)
+        |      || chr(10) || chr(10) || 'host notice ' || source AS page_text
+        |  FROM documents),
+        |wl AS (
+        |  SELECT doc_id, lang, string_split(page_text, chr(10) || chr(10)) AS paras
+        |  FROM pages),
+        |ex AS (SELECT doc_id, unnest(list_distinct(paras)) AS para FROM wl),
+        |fs AS (SELECT md5(para) AS h, CAST(min(doc_id) AS BIGINT) AS first_doc
+        |  FROM ex GROUP BY md5(para)),
+        |dr AS (
+        |  SELECT doc_id, list_sort(list(para)) AS dropset
+        |  FROM ex JOIN fs ON fs.h = md5(ex.para)
+        |  WHERE first_doc <> doc_id GROUP BY doc_id),
+        |cleaned AS (
+        |  SELECT wl.lang, wl.paras,
+        |    list_filter(wl.paras,
+        |      p -> NOT list_contains(coalesce(dr.dropset, CAST([] AS VARCHAR[])), p)) AS kept
+        |  FROM wl LEFT JOIN dr USING (doc_id))
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(len(paras)) AS BIGINT) AS sum_paras_raw,
+        |  CAST(sum(len(kept)) AS BIGINT) AS sum_paras_kept,
+        |  CAST(sum(length(coalesce(array_to_string(kept, chr(10) || chr(10)), ''))) AS BIGINT) AS sum_chars_kept,
+        |  CAST(count(DISTINCT md5(coalesce(array_to_string(kept, chr(10) || chr(10)), ''))) AS BIGINT) AS n_distinct_clean
+        |FROM cleaned GROUP BY lang ORDER BY lang""".stripMargin,
+    // q48: closed-form allowed set — /a<id> allowed, /private<id>/secret
+    // blocked by the prefix rule, /private<id>/ok/page re-allowed by the
+    // longer Allow, /report<id>.pdf blocked by the $-anchored wildcard.
+    "q48_frontier_filter" ->
+      """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
+        |e AS (
+        |  SELECT id % 10 AS grp,
+        |    'https://h' || id || '.example.com/a' || id AS loc, 1 AS allowed FROM d
+        |  UNION ALL
+        |  SELECT id % 10, 'https://h' || id || '.example.com/private' || id || '/secret', 0 FROM d
+        |  UNION ALL
+        |  SELECT id % 10, 'https://h' || id || '.example.com/private' || id || '/ok/page', 1 FROM d
+        |  UNION ALL
+        |  SELECT id % 10, 'https://h' || id || '.example.com/report' || id || '.pdf', 0 FROM d)
+        |SELECT grp, count(*) AS n_entries,
+        |  CAST(sum(allowed) AS BIGINT) AS n_allowed,
+        |  min(CASE WHEN allowed = 1 THEN loc END) AS min_allowed_loc,
+        |  max(CASE WHEN allowed = 1 THEN loc END) AS max_allowed_loc
         |FROM e GROUP BY grp ORDER BY grp""".stripMargin,
   )
 }
