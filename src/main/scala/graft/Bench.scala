@@ -52,7 +52,9 @@ object Bench {
     "q17_hourly_events", "x08_minhash_lsh_pairs",
     "q27_repetition_filter", "q28_decontamination", "q30_stratified_sample",
     "q34_packing_sharded", "q35_rare_term_idf", "x26_ann_pq",
-    "q37_window_dedup", "q38_nfc_normalize")
+    "q37_window_dedup", "q38_nfc_normalize",
+    "q41_boilerplate_lines", "q44_bm25_topk", "q47_paragraph_dedup",
+    "q49_lm_bucket")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1303,6 +1303,323 @@ object SparkEntry {
         .orderBy("grp")
     }),
 
+    "q49_lm_bucket" -> ((s, dir) => {
+      // CCNet-style language-model quality bucketing (head/middle/tail)
+      // with a frequency-LM surrogate: docs score by the average corpus
+      // frequency of their word bigrams under a PER-LANGUAGE bigram
+      // table (CCNet trains one KenLM per language and buckets each
+      // doc by perplexity tercile; the rational integer surrogate —
+      // score_mills = 1000*sum(bigram_count) div n_bigrams — keeps the
+      // arithmetic bit-exact cross-engine, the q35/q44 no-log
+      // discipline). Buckets split at 3/2x and 1/2x the per-lang mean
+      // score, a broadcast one-row-per-lang join — no global
+      // percentile window. Scale shape: the (lang,bigram) count agg
+      // absorbs mega-bigrams map-side; the doc-side join keys by
+      // (lang,bigram) whose cardinality grows with the data; nothing
+      // is collected. Plan note: the per-lang mean derives from the
+      // same docScore subtree as the bucket pass, which Catalyst
+      // recomputes (no cross-aggregate CTE reuse) — at 10^12 docs you
+      // materialize docScore to a table between the two passes (one
+      // extra narrow write, same shuffles); the declarative form here
+      // keeps the oracle query stateless.
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"), col("lang"),
+          split(col("text"), " ").as("t"))
+      val bg = toks.select(col("doc_id"), col("lang"),
+        explode(zip_with(
+          slice(col("t"), lit(1), size(col("t")) - 1),
+          slice(col("t"), lit(2), size(col("t")) - 1),
+          (a, b) => concat(a, lit(" "), b))).as("bg"))
+      val bgc = bg.groupBy(col("lang"), col("bg"))
+        .agg(count(lit(1)).as("cnt"))
+      val docScore = bg.join(bgc, Seq("lang", "bg"))
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(sum(col("cnt")).as("s"), count(lit(1)).as("n"))
+        .select(col("doc_id"), col("lang"),
+          expr("(s * 1000) div n").as("score_mills"))
+      val langMean = docScore.groupBy(col("lang"))
+        .agg(expr("sum(score_mills) div count(1)").as("mean_mills"))
+      docScore.join(broadcast(langMean), Seq("lang"))
+        .select(col("lang"), col("score_mills"),
+          when(col("score_mills") * 2 >= col("mean_mills") * 3, "head")
+            .when(col("score_mills") * 2 >= col("mean_mills"), "middle")
+            .otherwise("tail").as("bucket"))
+        .groupBy(col("lang"), col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("score_mills")).as("min_mills"),
+          max(col("score_mills")).as("max_mills"),
+          sum(col("score_mills")).cast("long").as("sum_mills"))
+        .orderBy("lang", "bucket")
+    }),
+
+    "q50_blocklist_filter" -> ((s, dir) => {
+      // Wordlist-based content filtering (the UT1/RefinedWeb blocklist
+      // stage): token-level hits against a curated blocklist, one hit
+      // flags the doc for review, two or more hard-filters it. Planted
+      // spam suffixes (%19 and %23 strides, overlapping at %437) keep
+      // every branch non-vacuous on a clean synthetic corpus. The
+      // blocklist is a literal IN set inside a higher-order filter —
+      // broadcast-free, map-only until the per-lang audit agg; real
+      // deployments swap the literal set for a broadcast join against
+      // the list table, same shape.
+      val planted = t(s, dir, "documents").select(col("lang"),
+        concat(col("text"),
+          when(col("doc_id") % 19 === 0, lit(" casino bonus xxx win")).otherwise(lit("")),
+          when(col("doc_id") % 23 === 0, lit(" cheap viagra lottery prize")).otherwise(lit("")))
+          .as("text"))
+      val hits = planted.select(col("lang"),
+        size(filter(split(col("text"), " "),
+          t => t.isin("casino", "viagra", "xxx", "lottery"))).cast("long").as("n_hits"))
+      hits.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("n_hits") >= 1, 1L).otherwise(0L)).as("n_flagged"),
+          sum(when(col("n_hits") >= 2, 1L).otherwise(0L)).as("n_filtered"),
+          sum(col("n_hits")).cast("long").as("sum_hits"),
+          max(col("n_hits")).as("max_hits"))
+        .orderBy("lang")
+    }),
+
+    "q51_anchor_text" -> ((s, dir) => {
+      // Anchor-text aggregation per target-host class — the webgraph
+      // relevance signal (anchor terms describe the TARGET page; search
+      // and quality-prior stacks aggregate them by destination). Pages
+      // synthesize with four anchors each — internal, a hub external, a
+      // partner external (10-way host fan), and an entity-bearing
+      // anchor (&amp; decode through the real tokenizer) — and run the
+      // REAL Outlinks kernel; DuckDB states the expected link and term
+      // counts in closed form. Scale: map-side link fan-out, the only
+      // shuffle is the (kind)-keyed audit agg (production groups by
+      // dst_host — unbounded key — with the same plan shape).
+      import s.implicits._
+      val links = t(s, dir, "documents").select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions { it =>
+          it.flatMap { id =>
+            val pageUrl = s"https://host$id.example.com/dir/page"
+            val html =
+              s"""<html><body>
+                 |<a href="/about">home page $id</a>
+                 |<a href="https://hub.example.org/guide">best spark guide $id</a>
+                 |<a href="https://p${id % 10}.partner.net/x">partner deal $id</a>
+                 |<a href="https://hub.example.org/duo">tom &amp; jerry $id</a>
+                 |</body></html>""".stripMargin
+            graft.extract.Outlinks.extract(html.getBytes("UTF-8"), pageUrl)
+              .map { l =>
+                val kind =
+                  if (!l.external) "internal"
+                  else if (l.targetHost == "hub.example.org") "hub"
+                  else "partner"
+                (kind, l.targetHost, l.anchor,
+                  l.anchor.split(" ").count(_.nonEmpty).toLong)
+              }
+          }
+        }.toDF("kind", "dst_host", "anchor", "n_terms")
+      links.groupBy(col("kind"))
+        .agg(count(lit(1)).as("n_links"),
+          countDistinct(col("dst_host")).as("n_hosts"),
+          sum(col("n_terms")).cast("long").as("sum_terms"),
+          sum(when(col("anchor").contains("&"), 1L).otherwise(0L)).as("n_amp_anchors"),
+          min(col("anchor")).as("min_anchor"))
+        .orderBy("kind")
+    }),
+
+    "q52_table_markdown" -> ((s, dir) => {
+      // HTML table → GFM markdown extraction — the reference's
+      // formatted-table output mode (GOT-OCR2.0 emits markdown tables
+      // in format mode) re-expressed over crawl HTML via the REAL
+      // TableMd kernel: a five-case battery per doc (th header,
+      // colspan flattening, pipe-escape + entity decode, nested-table
+      // folding, ragged-row padding) whose exact markdown DuckDB
+      // states in closed form — the whole rendered string is
+      // value-compared, not just counts. Map-side kernel fan-out, one
+      // audit-agg shuffle (the q33/q48/q51 oracle pattern).
+      import s.implicits._
+      val tabs = t(s, dir, "documents").select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions { it =>
+          it.flatMap { id =>
+            Seq(
+              "basic" -> (s"<table><tr><th>Name</th><th>V $id</th></tr>" +
+                "<tr><td>a</td><td>b</td></tr></table>"),
+              "colspan" -> (s"""<table><tr><td colspan="2">wide $id</td>""" +
+                "<td>c</td></tr><tr><td>x</td><td>y</td><td>z</td></tr></table>"),
+              "escape" -> (s"<table><tr><td>a|b $id</td>" +
+                "<td>x &amp; y</td></tr></table>"),
+              "nested" -> (s"<table><tr><td>outer <table><tr><td>in $id" +
+                "</td></tr></table> tail</td></tr></table>"),
+              "ragged" -> (s"<table><tr><th>H $id</th></tr>" +
+                "<tr><td>r1</td><td>r2</td></tr></table>"))
+              .flatMap { case (kind, html) =>
+                graft.extract.TableMd.extract(html.getBytes("UTF-8")).map { tb =>
+                  (kind, tb.rows.length.toLong,
+                    tb.rows.map(_.length).sum.toLong,
+                    tb.headerRows.toLong, tb.markdown)
+                }
+              }
+          }
+        }.toDF("kind", "n_rows", "n_cells", "header_rows", "md")
+      tabs.groupBy(col("kind"))
+        .agg(count(lit(1)).as("n_tables"),
+          sum(col("n_rows")).cast("long").as("sum_rows"),
+          sum(col("n_cells")).cast("long").as("sum_cells"),
+          sum(when(col("header_rows") > 0, 1L).otherwise(0L)).as("n_with_header"),
+          countDistinct(col("md")).as("n_md_distinct"),
+          min(col("md")).as("min_md"))
+        .orderBy("kind")
+    }),
+
+    "q53_registrable_domain" -> ((s, dir) => {
+      // Registrable-domain (eTLD+1) rollup — the per-DOMAIN aggregation
+      // key behind crawl quotas and domain-level dedup (host-keyed
+      // groups explode on CDNs/subdomain farms; eTLD+1 is the right
+      // granularity). A six-case host battery per doc exercises the
+      // longest-known-suffix algorithm (two-level registry, private
+      // registry, plain TLD, deep subdomain, single label, bare
+      // suffix) through UrlCanon.registrableDomain — pure Catalyst,
+      // map-only until the audit agg; DuckDB mirrors the identical
+      // suffix-list algorithm.
+      val d = t(s, dir, "documents").select(col("doc_id").cast("long").as("id"))
+      val hosts = d.select(explode(array(
+        struct(lit("uk_two_level").as("kind"),
+          concat(lit("www.shop"), (col("id") % 50).cast("string"), lit(".co.uk")).as("host")),
+        struct(lit("private_registry").as("kind"),
+          concat(lit("blog"), (col("id") % 30).cast("string"), lit(".github.io")).as("host")),
+        struct(lit("plain_tld").as("kind"),
+          concat(lit("cdn.site"), (col("id") % 40).cast("string"), lit(".com")).as("host")),
+        struct(lit("deep_subdomain").as("kind"),
+          concat(lit("a.b.site"), (col("id") % 20).cast("string"), lit(".org")).as("host")),
+        struct(lit("single_label").as("kind"), lit("localhost").as("host")),
+        struct(lit("bare_suffix").as("kind"), lit("co.uk").as("host")))).as("e"))
+        .select(col("e.kind").as("kind"), col("e.host").as("host"))
+      hosts
+        .withColumn("dom", graft.functions.UrlCanon.registrableDomain(col("host")))
+        .groupBy(col("kind"))
+        .agg(count(lit(1)).as("n_hosts"),
+          countDistinct(col("host")).as("n_distinct_hosts"),
+          countDistinct(col("dom")).as("n_domains"),
+          min(col("dom")).as("min_domain"),
+          max(col("dom")).as("max_domain"))
+        .orderBy("kind")
+    }),
+
+    "q54_phrase_search" -> ((s, dir) => {
+      // Exact-phrase retrieval via a POSITIONAL inverted index — the
+      // phrase-query half of the q44 retrieval stack: (doc, pos, term)
+      // postings filtered to the phrase vocabulary BEFORE any shuffle,
+      // then a self-equi-join on (doc_id, pos+1) pairs consecutive
+      // terms. The DuckDB oracle computes the same phrases by direct
+      // per-doc array scan — two different algorithms (distributed
+      // index join vs naive scan), one answer. Scale: postings key by
+      // (doc_id) for the adjacency join; the IN filter keeps only
+      // phrase-vocabulary postings flowing.
+      import s.implicits._
+      val phrases = Seq(("key order", "key", "order"),
+        ("group query", "group", "query"),
+        ("table scan", "table", "scan")).toDF("phrase", "w0", "w1")
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "term")))
+      val vocab0 = Seq("key", "group", "table")
+      val vocab1 = Seq("order", "query", "scan")
+      val first = toks.filter(col("term").isin(vocab0: _*))
+        .join(broadcast(phrases), col("term") === col("w0"))
+        .select(col("phrase"), col("doc_id"), col("pos"), col("w1"))
+      val second = toks.filter(col("term").isin(vocab1: _*))
+        .select(col("doc_id").as("doc_id2"), col("pos").as("pos2"),
+          col("term").as("term2"))
+      first.join(second,
+          col("doc_id") === col("doc_id2") &&
+            col("pos2") === col("pos") + 1 && col("term2") === col("w1"))
+        .groupBy(col("phrase"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_occurrences"),
+          min(col("doc_id")).as("min_doc_id"),
+          max(col("doc_id")).as("max_doc_id"))
+        .orderBy("phrase")
+    }),
+
+    "q55_quality_retention" -> ((s, dir) => {
+      // Near-dup cluster retention by QUALITY argmax (the production
+      // refinement of q43's min-id policy: real pipelines keep each
+      // cluster's best-quality member, tie-broken deterministically by
+      // min doc_id). Quality is a planted integer score so the argmax
+      // genuinely disagrees with min-id. Two aggs — per-cluster max
+      // quality, then min doc_id among the maximizers — both
+      // cluster-keyed (cardinality grows with data); the same q25/q43
+      // connectedComponents labels drive membership.
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"), col("lang"),
+          col("n_chars").cast("long").as("n_chars"))
+        .withColumn("quality", (col("n_chars") * 7 + col("doc_id") * 13) % 1000)
+      val nodes = docs.filter(col("doc_id") % 10 <= 5)
+      val edges = nodes.select(col("doc_id").as("doc_a"))
+        .filter(col("doc_a") % 10 < 4)
+        .join(nodes.select(col("doc_id").as("doc_b")),
+          col("doc_b") === col("doc_a") + 1)
+      val labels = graft.functions.TextSketch.connectedComponents(edges)
+      val members = nodes.join(labels, nodes("doc_id") === labels("id"), "left")
+        .select(col("lang"), col("n_chars"), col("quality"), nodes("doc_id"),
+          coalesce(col("label"), nodes("doc_id")).as("cluster"))
+      val qmax = members.groupBy(col("cluster"))
+        .agg(max(col("quality")).as("q_best"))
+      val keeper = members.join(qmax, Seq("cluster"))
+        .filter(col("quality") === col("q_best"))
+        .groupBy(col("cluster"))
+        .agg(min(col("doc_id")).as("keep_doc"))
+      members.join(keeper, Seq("cluster"))
+        .select(col("lang"), col("n_chars"), col("quality"),
+          (col("doc_id") === col("keep_doc")).as("kept"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("kept"), col("n_chars")).otherwise(0L)).as("chars_kept"),
+          sum(when(!col("kept"), col("n_chars")).otherwise(0L)).as("chars_dropped"),
+          max(when(col("kept"), col("quality"))).as("max_quality_kept"))
+        .orderBy("lang")
+    }),
+
+    "q56_crawl_delay_audit" -> ((s, dir) => {
+      // Crawl-delay compliance audit — q39's politeness machinery
+      // joined against each host's OWN declared Crawl-delay, parsed
+      // from synthesized robots.txt through the REAL parser (group
+      // selection included: a `*` group declares 1s, the graftbot
+      // group 5..11s — the specific group must shadow the wildcard,
+      // which the oracle's closed form asserts). Violations = observed
+      // inter-arrival gaps under the declared delay. Scale: the
+      // host-keyed window (unbounded cardinality) plus one host-keyed
+      // broadcast-sized join per partition of hosts.
+      import s.implicits._
+      val declared = t(s, dir, "events")
+        .select(col("user_id").cast("long").as("host_id")).distinct().as[Long]
+        .map { h =>
+          val robots =
+            s"""User-agent: *
+               |Crawl-delay: 1
+               |
+               |User-agent: graftbot
+               |Crawl-delay: ${5 + h % 7}
+               |Disallow: /tmp
+               |""".stripMargin
+          val d = graft.extract.Robots.crawlDelay(robots, "graftbot").getOrElse(0.0)
+          (h, (d * 1000).toLong)
+        }.toDF("host_id", "declared_ms")
+      val w = Window.partitionBy("host_id").orderBy(col("ts"), col("event_id"))
+      val gaps = t(s, dir, "events")
+        .select(col("user_id").cast("long").as("host_id"), col("ts"),
+          col("event_id").cast("long").as("event_id"))
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .filter(col("prev_ts").isNotNull)
+        .select(col("host_id"),
+          (unix_millis(col("ts").cast("timestamp"))
+            - unix_millis(col("prev_ts").cast("timestamp"))).as("gap_ms"))
+      gaps.join(declared, Seq("host_id"))
+        .groupBy(col("host_id"))
+        .agg(max(col("declared_ms")).as("declared_ms"),
+          count(lit(1)).as("n_gaps"),
+          sum(when(col("gap_ms") < col("declared_ms"), 1L).otherwise(0L))
+            .as("n_violations"),
+          min(col("gap_ms")).as("min_gap_ms"))
+        .orderBy("host_id")
+    }),
+
     // ---- extraction pipeline (rows-only: not SQL-expressible) ----
     "x01_extract_plain" -> ((s, _) => {
       val (pagesDir, _) = microTables(s)
@@ -1687,6 +2004,44 @@ object SparkEntry {
       graft.functions.Bpe.learnMerges(s, words, 12).toDF()
         .select(col("rank"), col("left"), col("right"), col("pair_count"))
         .orderBy("rank")
+    }),
+    "x30_bpe_encode" -> ((s, dir) => {
+      // BPE tokenization with the learned merge table — the APPLY half
+      // of x29's tokenizer training (what actually counts tokens for
+      // q32/q34's packing budgets in a real pretraining pipeline). The
+      // merge table is learned once from the distributed vocabulary,
+      // then broadcast inside a map-only encode pass over the corpus;
+      // per-lang audit reports word->piece compression. BpeSpec pins
+      // encode against the trained segmentation and the concatenation
+      // invariant; determinism follows from x29's total-order argmax.
+      import s.implicits._
+      val words = t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      val merges = graft.functions.Bpe.learnMerges(s, words, 12)
+        .map(m => (m.left, m.right))
+      val bc = s.sparkContext.broadcast(merges)
+      t(s, dir, "documents")
+        .select(col("lang"), split(col("text"), " ").as("toks")).as[(String, Seq[String])]
+        .map { case (lang, toks) =>
+          val ws = toks.filter(_.nonEmpty)
+          var pieces = 0L
+          var chars = 0L
+          ws.foreach { w =>
+            pieces += graft.functions.Bpe.encode(w, bc.value).length
+            chars += w.length
+          }
+          (lang, ws.length.toLong, pieces, chars)
+        }
+        .toDF("lang", "n_words", "n_pieces", "n_chars")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_words")).as("sum_words"),
+          sum(col("n_pieces")).as("sum_pieces"),
+          sum(col("n_chars")).as("sum_chars"),
+          expr("(sum(n_pieces) * 1000) div sum(n_words)").as("pieces_per_word_mills"))
+        .orderBy("lang")
     }),
     "x16_warc_ingest" -> ((s, _) => {
       // Common-Crawl-native ingest: synthesize WARC captures (one gzip,
@@ -2610,5 +2965,223 @@ object SparkEntry {
         |  min(CASE WHEN allowed = 1 THEN loc END) AS min_allowed_loc,
         |  max(CASE WHEN allowed = 1 THEN loc END) AS max_allowed_loc
         |FROM e GROUP BY grp ORDER BY grp""".stripMargin,
+    // q49: integer-only scoring — DuckDB // is floor division, Spark div
+    // truncates toward zero; all operands here are non-negative so the
+    // two agree. Single-token docs yield no bigrams and drop from
+    // scoring in both engines (explode/unnest of an empty list).
+    "q49_lm_bucket" ->
+      """WITH toks AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+        |    string_split(text, ' ') AS t FROM documents),
+        |bg AS (
+        |  SELECT doc_id, lang,
+        |    unnest(list_transform(generate_series(1, len(t)-1),
+        |      g -> t[g] || ' ' || t[g+1])) AS bg
+        |  FROM toks),
+        |bgc AS (SELECT lang, bg, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM bg GROUP BY lang, bg),
+        |ds AS (
+        |  SELECT b.doc_id, b.lang,
+        |    (sum(c.cnt) * 1000) // count(*) AS score_mills
+        |  FROM bg b JOIN bgc c USING (lang, bg)
+        |  GROUP BY b.doc_id, b.lang),
+        |lm AS (SELECT lang, sum(score_mills) // count(*) AS mean_mills
+        |  FROM ds GROUP BY lang),
+        |bk AS (
+        |  SELECT ds.lang, score_mills,
+        |    CASE WHEN score_mills * 2 >= mean_mills * 3 THEN 'head'
+        |         WHEN score_mills * 2 >= mean_mills THEN 'middle'
+        |         ELSE 'tail' END AS bucket
+        |  FROM ds JOIN lm USING (lang))
+        |SELECT lang, bucket, count(*) AS n_docs,
+        |  CAST(min(score_mills) AS BIGINT) AS min_mills,
+        |  CAST(max(score_mills) AS BIGINT) AS max_mills,
+        |  CAST(sum(score_mills) AS BIGINT) AS sum_mills
+        |FROM bk GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin,
+    "q50_blocklist_filter" ->
+      """WITH planted AS (
+        |  SELECT lang, text
+        |    || CASE WHEN doc_id % 19 = 0 THEN ' casino bonus xxx win' ELSE '' END
+        |    || CASE WHEN doc_id % 23 = 0 THEN ' cheap viagra lottery prize' ELSE '' END
+        |    AS text
+        |  FROM documents),
+        |h AS (
+        |  SELECT lang,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      t -> t IN ('casino', 'viagra', 'xxx', 'lottery'))) AS BIGINT) AS n_hits
+        |  FROM planted)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN n_hits >= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+        |  CAST(sum(CASE WHEN n_hits >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_filtered,
+        |  CAST(sum(n_hits) AS BIGINT) AS sum_hits,
+        |  CAST(max(n_hits) AS BIGINT) AS max_hits
+        |FROM h GROUP BY lang ORDER BY lang""".stripMargin,
+    // q51: closed-form expected links per page — internal /about resolves
+    // to the page host; hub gets two anchors (one with &amp; decoding to
+    // '&'); partner fans over 10 hosts. Term counts are whitespace words
+    // of the DECODED anchor.
+    "q51_anchor_text" ->
+      """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
+        |e AS (
+        |  SELECT 'internal' AS kind, 'host' || id || '.example.com' AS dst_host,
+        |    'home page ' || id AS anchor, CAST(3 AS BIGINT) AS n_terms FROM d
+        |  UNION ALL
+        |  SELECT 'hub', 'hub.example.org', 'best spark guide ' || id, 4 FROM d
+        |  UNION ALL
+        |  SELECT 'partner', 'p' || (id % 10) || '.partner.net',
+        |    'partner deal ' || id, 3 FROM d
+        |  UNION ALL
+        |  SELECT 'hub', 'hub.example.org', 'tom & jerry ' || id, 4 FROM d)
+        |SELECT kind, count(*) AS n_links,
+        |  CAST(count(DISTINCT dst_host) AS BIGINT) AS n_hosts,
+        |  CAST(sum(n_terms) AS BIGINT) AS sum_terms,
+        |  CAST(sum(CASE WHEN contains(anchor, '&') THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_amp_anchors,
+        |  min(anchor) AS min_anchor
+        |FROM e GROUP BY kind ORDER BY kind""".stripMargin,
+    // q52: the EXPECTED markdown per case, stated in closed form — the
+    // whole rendered table string is value-compared per doc (min/
+    // distinct aggregates over strings that differ only in the id).
+    "q52_table_markdown" ->
+      """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
+        |e AS (
+        |  SELECT 'basic' AS kind, CAST(2 AS BIGINT) AS n_rows,
+        |    CAST(4 AS BIGINT) AS n_cells, CAST(1 AS BIGINT) AS header_rows,
+        |    '| Name | V ' || id || ' |' || chr(10) || '| --- | --- |'
+        |      || chr(10) || '| a | b |' AS md
+        |  FROM d
+        |  UNION ALL
+        |  SELECT 'colspan', 2, 6, 0,
+        |    '|  |  |  |' || chr(10) || '| --- | --- | --- |' || chr(10)
+        |      || '| wide ' || id || ' |  | c |' || chr(10) || '| x | y | z |'
+        |  FROM d
+        |  UNION ALL
+        |  SELECT 'escape', 1, 2, 0,
+        |    '|  |  |' || chr(10) || '| --- | --- |' || chr(10)
+        |      || '| a\|b ' || id || ' | x & y |'
+        |  FROM d
+        |  UNION ALL
+        |  SELECT 'nested', 1, 1, 0,
+        |    '|  |' || chr(10) || '| --- |' || chr(10)
+        |      || '| outer in ' || id || ' tail |'
+        |  FROM d
+        |  UNION ALL
+        |  SELECT 'ragged', 2, 3, 1,
+        |    '| H ' || id || ' |  |' || chr(10) || '| --- | --- |' || chr(10)
+        |      || '| r1 | r2 |'
+        |  FROM d)
+        |SELECT kind, count(*) AS n_tables,
+        |  CAST(sum(n_rows) AS BIGINT) AS sum_rows,
+        |  CAST(sum(n_cells) AS BIGINT) AS sum_cells,
+        |  CAST(sum(CASE WHEN header_rows > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_with_header,
+        |  CAST(count(DISTINCT md) AS BIGINT) AS n_md_distinct,
+        |  min(md) AS min_md
+        |FROM e GROUP BY kind ORDER BY kind""".stripMargin,
+    // q53: the identical longest-known-suffix algorithm over the same
+    // curated suffix list (UrlCanon.twoLevelSuffixes).
+    "q53_registrable_domain" ->
+      """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
+        |e AS (
+        |  SELECT 'uk_two_level' AS kind,
+        |    'www.shop' || (id % 50) || '.co.uk' AS host FROM d
+        |  UNION ALL SELECT 'private_registry', 'blog' || (id % 30) || '.github.io' FROM d
+        |  UNION ALL SELECT 'plain_tld', 'cdn.site' || (id % 40) || '.com' FROM d
+        |  UNION ALL SELECT 'deep_subdomain', 'a.b.site' || (id % 20) || '.org' FROM d
+        |  UNION ALL SELECT 'single_label', 'localhost' FROM d
+        |  UNION ALL SELECT 'bare_suffix', 'co.uk' FROM d),
+        |r AS (
+        |  SELECT kind, host,
+        |    CASE WHEN len(ls) <= 1 THEN host
+        |         WHEN len(ls) >= 3 AND list_contains(
+        |             ['co.uk','org.uk','ac.uk','gov.uk','com.au','net.au',
+        |              'org.au','co.jp','ne.jp','or.jp','com.br','com.cn',
+        |              'com.mx','co.in','co.za','github.io','blogspot.com'],
+        |             ls[-2] || '.' || ls[-1])
+        |           THEN ls[-3] || '.' || ls[-2] || '.' || ls[-1]
+        |         ELSE ls[-2] || '.' || ls[-1] END AS dom
+        |  FROM (SELECT kind, host, string_split(host, '.') AS ls FROM e))
+        |SELECT kind, count(*) AS n_hosts,
+        |  CAST(count(DISTINCT host) AS BIGINT) AS n_distinct_hosts,
+        |  CAST(count(DISTINCT dom) AS BIGINT) AS n_domains,
+        |  min(dom) AS min_domain, max(dom) AS max_domain
+        |FROM r GROUP BY kind ORDER BY kind""".stripMargin,
+    // q54: the oracle scans each doc's token array directly (the
+    // semantic definition of a phrase hit); Spark answers the same
+    // question with the distributed positional-index join.
+    "q54_phrase_search" ->
+      """WITH toks AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |    string_split(text, ' ') AS t FROM documents),
+        |ph(phrase, w0, w1) AS (
+        |  SELECT * FROM (VALUES ('key order', 'key', 'order'),
+        |    ('group query', 'group', 'query'), ('table scan', 'table', 'scan')) v),
+        |hits AS (
+        |  SELECT p.phrase, k.doc_id,
+        |    CAST(len(list_filter(generate_series(1, len(t)-1),
+        |      i -> t[i] = p.w0 AND t[i+1] = p.w1)) AS BIGINT) AS n
+        |  FROM toks k CROSS JOIN ph p)
+        |SELECT phrase,
+        |  CAST(count(CASE WHEN n > 0 THEN 1 END) AS BIGINT) AS n_docs,
+        |  CAST(sum(n) AS BIGINT) AS n_occurrences,
+        |  CAST(min(CASE WHEN n > 0 THEN doc_id END) AS BIGINT) AS min_doc_id,
+        |  CAST(max(CASE WHEN n > 0 THEN doc_id END) AS BIGINT) AS max_doc_id
+        |FROM hits GROUP BY phrase ORDER BY phrase""".stripMargin,
+    "q55_quality_retention" ->
+      """WITH RECURSIVE docs AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+        |    CAST(n_chars AS BIGINT) AS n_chars,
+        |    (CAST(n_chars AS BIGINT) * 7 + CAST(doc_id AS BIGINT) * 13) % 1000 AS quality
+        |  FROM documents),
+        |nodes AS (SELECT doc_id AS id, lang, n_chars, quality FROM docs
+        |  WHERE doc_id % 10 <= 5),
+        |e0 AS (
+        |  SELECT a.id AS src, b.id AS dst FROM nodes a JOIN nodes b ON b.id = a.id + 1
+        |  WHERE a.id % 10 < 4),
+        |edges AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+        |reach(id, label) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id),
+        |lab AS (SELECT id, min(label) AS cluster FROM reach GROUP BY id),
+        |members AS (
+        |  SELECT n.lang, n.n_chars, n.quality, n.id AS doc_id, l.cluster
+        |  FROM nodes n JOIN lab l USING (id)),
+        |qm AS (SELECT cluster, max(quality) AS q_best FROM members GROUP BY cluster),
+        |keeper AS (
+        |  SELECT m.cluster, min(m.doc_id) AS keep_doc
+        |  FROM members m JOIN qm USING (cluster)
+        |  WHERE m.quality = qm.q_best GROUP BY m.cluster)
+        |SELECT m.lang, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN m.doc_id = k.keep_doc THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(sum(CASE WHEN m.doc_id = k.keep_doc THEN m.n_chars ELSE 0 END) AS BIGINT) AS chars_kept,
+        |  CAST(sum(CASE WHEN m.doc_id <> k.keep_doc THEN m.n_chars ELSE 0 END) AS BIGINT) AS chars_dropped,
+        |  CAST(max(CASE WHEN m.doc_id = k.keep_doc THEN m.quality END) AS BIGINT) AS max_quality_kept
+        |FROM members m JOIN keeper k USING (cluster)
+        |GROUP BY m.lang ORDER BY m.lang""".stripMargin,
+    // q56: the closed form asserts the PARSED delay — the graftbot
+    // group's 5+(h%7) seconds, not the wildcard group's 1s — so group
+    // selection is value-verified, then reuses q39's gap arithmetic.
+    "q56_crawl_delay_audit" ->
+      """WITH e AS (
+        |  SELECT CAST(user_id AS BIGINT) AS host_id, ts,
+        |    CAST(event_id AS BIGINT) AS event_id
+        |  FROM events),
+        |decl AS (
+        |  SELECT DISTINCT host_id, (5 + host_id % 7) * 1000 AS declared_ms FROM e),
+        |g AS (
+        |  SELECT host_id,
+        |    epoch_ms(ts) - epoch_ms(lag(ts) OVER (
+        |      PARTITION BY host_id ORDER BY ts, event_id)) AS gap_ms
+        |  FROM e)
+        |SELECT host_id,
+        |  CAST(max(declared_ms) AS BIGINT) AS declared_ms,
+        |  count(*) AS n_gaps,
+        |  CAST(sum(CASE WHEN gap_ms < declared_ms THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_violations,
+        |  CAST(min(gap_ms) AS BIGINT) AS min_gap_ms
+        |FROM g JOIN decl USING (host_id)
+        |WHERE gap_ms IS NOT NULL
+        |GROUP BY host_id ORDER BY host_id""".stripMargin,
   )
 }

@@ -26,18 +26,30 @@ object Robots {
   final case class Rule(allow: Boolean, pattern: String)
 
   /** Parse the rule group applicable to `agent` (product token,
-    * case-insensitive). Unknown directives (crawl-delay, sitemap, …)
-    * are ignored; `#` starts a comment. */
-  def parse(txt: String, agent: String): Seq[Rule] = {
+    * case-insensitive). Unknown directives (sitemap, …) are ignored;
+    * `#` starts a comment. */
+  def parse(txt: String, agent: String): Seq[Rule] = selectGroups(txt, agent)._1
+
+  /** The selected group's `Crawl-delay` in seconds (None when absent or
+    * unparseable). Nonstandard but universally implemented; the same
+    * group-selection rules apply — a specific group's delay shadows the
+    * `*` group's, like its rules. First valid value in the chosen
+    * group(s) wins. */
+  def crawlDelay(txt: String, agent: String): Option[Double] =
+    selectGroups(txt, agent)._2
+
+  private def selectGroups(txt: String, agent: String): (Seq[Rule], Option[Double]) = {
     val want = agent.toLowerCase
-    // collect groups: (agent tokens, rules)
-    val groups = scala.collection.mutable.ArrayBuffer.empty[(List[String], List[Rule])]
+    // collect groups: (agent tokens, rules, crawl-delay)
+    val groups = scala.collection.mutable.ArrayBuffer
+      .empty[(List[String], List[Rule], Option[Double])]
     var curAgents = List.empty[String]
     var curRules = List.empty[Rule]
+    var curDelay = Option.empty[Double]
     var inHeader = true // consecutive user-agent lines accumulate one group
     def closeGroup(): Unit = {
-      if (curAgents.nonEmpty) groups += ((curAgents.reverse, curRules.reverse))
-      curAgents = Nil; curRules = Nil
+      if (curAgents.nonEmpty) groups += ((curAgents.reverse, curRules.reverse, curDelay))
+      curAgents = Nil; curRules = Nil; curDelay = None
     }
     txt.split("\n").foreach { raw =>
       val line = { val h = raw.indexOf('#'); if (h >= 0) raw.substring(0, h) else raw }.trim
@@ -56,6 +68,10 @@ object Robots {
             case "disallow" if curAgents.nonEmpty =>
               // empty Disallow = allow all: drop the rule entirely
               if (value.nonEmpty) curRules = Rule(allow = false, value) :: curRules
+              inHeader = false
+            case "crawl-delay" if curAgents.nonEmpty =>
+              if (curDelay.isEmpty)
+                curDelay = value.toDoubleOption.filter(d => d >= 0 && d.isFinite)
               inHeader = false
             case _ => inHeader = false // unknown directive ends a header run
           }
@@ -76,7 +92,7 @@ object Robots {
         val best = specific.map(g => agentScore(g._1)).max
         specific.filter(g => agentScore(g._1) == best)
       } else groups.filter(_._1.contains("*"))
-    chosen.toSeq.flatMap(_._2)
+    (chosen.toSeq.flatMap(_._2), chosen.toSeq.flatMap(_._3).headOption)
   }
 
   /** Does `pattern` match a prefix of `path`? `*` = any sequence, `$`

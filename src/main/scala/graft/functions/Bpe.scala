@@ -90,6 +90,21 @@ object Bpe {
     merges.toSeq
   }
 
+  /** Apply a learned merge table to one word: sequential application in
+    * rank order, each merge greedy-leftmost across the word — exactly the
+    * transformation `learnMerges` applied to the vocabulary while
+    * learning, so encode(train_word) reproduces the trained segmentation
+    * by construction. Concatenation invariant: encode(w).mkString == w. */
+  def encode(w: String, merges: Seq[(String, String)]): Seq[String] = {
+    var syms: Seq[String] = w.map(_.toString)
+    var i = 0
+    while (i < merges.length && syms.length > 1) {
+      syms = mergePair(syms, merges(i)._1, merges(i)._2)
+      i += 1
+    }
+    syms
+  }
+
   /** Single-threaded reference implementation (identical semantics) for
     * the spec's exact-equality check. */
   def learnMergesLocal(words: Seq[(String, Long)], k: Int): Seq[Merge] = {

@@ -26,6 +26,35 @@ import org.apache.spark.sql.functions._
   */
 object UrlCanon {
 
+  /** Two-level public suffixes — a curated subset of the publicsuffix.org
+    * list (the crawl-practical head: UK/AU/JP/BR/CN/MX/IN/ZA second-level
+    * registries plus the big private registries). Real deployments
+    * broadcast the full PSL data file; the algorithm — longest known
+    * suffix, registrable domain = suffix + one label — is identical.
+    * Kept visible for the q53 oracle to mirror. */
+  val twoLevelSuffixes: Seq[String] = Seq(
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "com.au", "net.au", "org.au",
+    "co.jp", "ne.jp", "or.jp", "com.br", "com.cn", "com.mx", "co.in",
+    "co.za", "github.io", "blogspot.com")
+
+  /** Registrable domain (eTLD+1) of a bare hostname: the per-DOMAIN
+    * aggregation key for crawl quotas, domain-level dedup lists, and
+    * host→domain rollups (a host-keyed group explodes on CDNs;
+    * registrable domain is the right granularity). Pure Catalyst —
+    * stays in whole-stage codegen. Single labels and bare suffixes
+    * return themselves (no registrable domain exists; returning the
+    * input keeps the column total). */
+  def registrableDomain(host: Column): Column = {
+    val labels = split(host, "\\.")
+    val n = size(labels)
+    val last2 = concat_ws(".", element_at(labels, -2), element_at(labels, -1))
+    val last3 = concat_ws(".",
+      element_at(labels, -3), element_at(labels, -2), element_at(labels, -1))
+    when(n <= 1, host)
+      .when(n >= 3 && last2.isin(twoLevelSuffixes: _*), last3)
+      .otherwise(last2)
+  }
+
   def canonical(url: Column): Column = {
     val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     val hostport = lower(regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1))

@@ -41,6 +41,17 @@ class BpeSpec extends AnyFunSuite {
     assert(Bpe.mergePair(Seq("a", "b", "a", "b"), "a", "b") == Seq("ab", "ab"))
   }
 
+  test("encode applies the merge table in rank order (trained segmentation)") {
+    val merges = Bpe.learnMergesLocal(vocab, 4).map(m => (m.left, m.right))
+    // (e,s),(es,t),(l,o),(lo,w): unseen word "lowest" -> low + est
+    assert(Bpe.encode("lowest", merges) == Seq("low", "est"))
+    assert(Bpe.encode("newest", merges) == Seq("n", "e", "w", "est"))
+    assert(Bpe.encode("low", merges) == Seq("low"))
+    // concatenation invariant, incl. chars never seen at train time
+    for (w <- Seq("lowest", "zzz", "a", "wool"))
+      assert(Bpe.encode(w, merges).mkString == w)
+  }
+
   test("distributed == local reference, bit-for-bit, under any partitioning") {
     import spark.implicits._
     val expected = Bpe.learnMergesLocal(vocab, 6)
