@@ -1620,6 +1620,154 @@ object SparkEntry {
         .orderBy("host_id")
     }),
 
+    "q57_pdf_table" -> ((s, dir) => {
+      // PDF table extraction via layout analysis — the binary-payload
+      // half of the reference's formatted-table mode (q52 covers HTML;
+      // GOT-OCR2.0's format mode emits markdown tables from document
+      // pixels, run_ocr_2.0.py OCR-format path). A five-case battery per
+      // doc synthesizes REAL Flate-compressed PDFs via PdfWriter and
+      // recovers the table from text POSITIONS through the REAL
+      // PdfParser→PdfTable kernel: grid-in-prose, ragged rows,
+      // same-column space-joins, two tables split by prose, and the
+      // two-column page LAYOUT that must be vetoed (zero tables). DuckDB
+      // states each case's exact markdown in closed form — whole strings
+      // value-compared. Map-side kernel fan-out, one audit-agg shuffle
+      // (the q52 oracle pattern).
+      import s.implicits._
+      val rows = t(s, dir, "documents").select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions { it =>
+          import graft.pdf.{PdfTable, PdfWriter}
+          it.flatMap { id =>
+            val cases = Seq(
+              "grid" -> PdfWriter.makeCells(Seq(
+                Seq(72 -> s"Report $id"),
+                Seq(72 -> "Name", 200 -> s"V $id"),
+                Seq(72 -> "alpha", 200 -> "1"),
+                Seq(72 -> "beta", 200 -> "2"),
+                Seq(72 -> "Footnote."))),
+              "ragged" -> PdfWriter.makeCells(Seq(
+                Seq(72 -> s"T $id"),
+                Seq(72 -> "A", 200 -> s"B $id", 330 -> "C"),
+                Seq(72 -> "d", 330 -> "f"),
+                Seq(72 -> "after"))),
+              "join" -> PdfWriter.makeCells(Seq(
+                Seq(72 -> s"T $id"),
+                Seq(72 -> "a", 80 -> "b", 200 -> s"v $id"),
+                Seq(72 -> "c", 200 -> "d"),
+                Seq(72 -> "after"))),
+              "twotab" -> PdfWriter.makeCells(Seq(
+                Seq(72 -> "h1", 200 -> s"h2 $id"),
+                Seq(72 -> "a", 200 -> "b"),
+                Seq(72 -> "interlude prose"),
+                Seq(72 -> "H1", 200 -> "H2"),
+                Seq(72 -> "c", 200 -> "d"))),
+              "layout" -> PdfWriter.makeTwoColumn(
+                (1 to 6).map(i => s"left prose line $i of $id"),
+                (1 to 6).map(i => s"right prose line $i")))
+            cases.map { case (kind, pdf) =>
+              val ts = PdfTable.tables(pdf)
+              (kind, ts.length.toLong, ts.map(_.rows.length.toLong).sum,
+                ts.map(_.rows.map(_.length).sum.toLong).sum,
+                ts.headOption.map(_.markdown).getOrElse(""))
+            }
+          }
+        }.toDF("kind", "n_tables", "n_rows", "n_cells", "md")
+      rows.groupBy(col("kind"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tables")).cast("long").as("sum_tables"),
+          sum(col("n_rows")).cast("long").as("sum_rows"),
+          sum(col("n_cells")).cast("long").as("sum_cells"),
+          countDistinct(col("md")).as("n_md_distinct"),
+          min(col("md")).as("min_md"))
+        .orderBy("kind")
+    }),
+
+    "q58_page_meta" -> ((s, dir) => {
+      // Page-metadata extraction (title / description / OpenGraph /
+      // canonical / lang) — the per-document header fields a corpus
+      // carries beside its extracted text. A five-case battery per doc
+      // runs synthesized heads through the REAL Meta kernel (head-only
+      // early-exit scan): full head, first-occurrence-wins duplicates,
+      // body-placed spam tags that must be ignored, a mid-tag truncated
+      // head, and case-insensitive name/rel-token matching. DuckDB
+      // states every extracted string in closed form. Map-side kernel
+      // fan-out, one audit-agg shuffle (the q52/q57 oracle pattern).
+      import s.implicits._
+      val rows = t(s, dir, "documents").select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions { it =>
+          import graft.extract.Meta
+          it.flatMap { id =>
+            val cases = Seq(
+              "full" -> (s"""<html lang="EN"><head><title>Doc &amp; $id</title>""" +
+                s"""<meta name="description" content="desc $id">""" +
+                s"""<meta property="og:title" content="OG $id">""" +
+                s"""<link rel="canonical" href="https://c.example.com/$id">""" +
+                "</head><body>text</body></html>"),
+              "firstwins" -> (s"<head><title>W $id</title><title>second</title>" +
+                s"""<meta property="og:title" content="one $id">""" +
+                """<meta property="og:title" content="two"></head>"""),
+              "bodyspam" -> (s"<html><head><title>T $id</title></head><body>" +
+                """<meta property="og:title" content="spam">""" +
+                """<link rel="canonical" href="https://spam">"""),
+              "truncated" -> (s"<head><title>K $id</title><meta name=" + "\"descr"),
+              "tokenrel" -> (s"""<head><META NAME="Description" CONTENT="D $id">""" +
+                s"""<link rel="alternate canonical" href="https://r.example.com/$id">""" +
+                "</head>"))
+            cases.map { case (kind, html) =>
+              val pm = Meta.extract(html.getBytes("UTF-8"))
+              (kind, pm.title, pm.description, pm.ogTitle, pm.canonical,
+                pm.htmlLang)
+            }
+          }
+        }.toDF("kind", "title", "description", "og_title", "canonical", "lang")
+      rows.groupBy(col("kind"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("title")).as("n_titles"),
+          min(col("title")).as("min_title"),
+          min(col("description")).as("min_desc"),
+          min(col("og_title")).as("min_og"),
+          min(col("canonical")).as("min_canonical"),
+          max(col("lang")).as("max_lang"))
+        .orderBy("kind")
+    }),
+
+    "q59_snapshot_compact" -> ((s, dir) => {
+      // Snapshot compaction — latest-revision-wins over an append-only
+      // crawl log (the CDC-upsert READ shape: q42 diffs two snapshots;
+      // this collapses N appended revisions of a url to its newest
+      // before extraction). Revisions are synthesized deterministically:
+      // doc_id%3+1 fetches per url, each later fetch monotonically newer
+      // (fetch_ms) and longer. Scale: the ONLY shuffle is a url-keyed
+      // groupBy whose max(struct(fetch_ms, …)) argmax aggregates
+      // partially map-side — never a row_number window (a window keyed
+      // by url would sort every url's revisions in one task and buffer
+      // the hottest url whole; the struct-max is the skew-proof shape,
+      // same reasoning as q55's quality argmax).
+      val base = t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"), col("lang"),
+          col("source"), length(col("text")).cast("long").as("len0"))
+      val revs = base
+        .select(col("*"), explode(sequence(lit(0L), col("doc_id") % 3)).as("rev"))
+        .select(
+          concat(lit("https://"), col("source"), lit(".example.com/p"),
+            col("doc_id").cast("string")).as("url"),
+          col("lang"),
+          (col("doc_id") * 1000 + col("rev")).as("fetch_ms"),
+          (col("len0") + col("rev") * 7).as("text_len"))
+      val latest = revs.groupBy(col("url"), col("lang"))
+        .agg(max(struct(col("fetch_ms"), col("text_len"))).as("m"),
+          count(lit(1)).as("n_revs"))
+        .select(col("lang"), col("m.fetch_ms").as("fetch_ms"),
+          col("m.text_len").as("latest_len"), col("n_revs"))
+      latest.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_urls"),
+          sum(col("n_revs")).cast("long").as("n_rows_in"),
+          sum(when(col("n_revs") > 1, 1L).otherwise(0L)).as("n_compacted"),
+          sum(col("latest_len")).cast("long").as("sum_latest_len"),
+          max(col("fetch_ms")).as("max_fetch_ms"))
+        .orderBy("lang")
+    }),
+
     // ---- extraction pipeline (rows-only: not SQL-expressible) ----
     "x01_extract_plain" -> ((s, _) => {
       val (pagesDir, _) = microTables(s)
@@ -3183,5 +3331,76 @@ object SparkEntry {
         |FROM g JOIN decl USING (host_id)
         |WHERE gap_ms IS NOT NULL
         |GROUP BY host_id ORDER BY host_id""".stripMargin,
+    // q57: each battery case's table set stated in closed form (the
+    // layout case's veto = zero tables, empty markdown).
+    "q57_pdf_table" ->
+      """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
+        |e AS (
+        |  SELECT 'grid' AS kind, CAST(1 AS BIGINT) AS n_tables,
+        |    CAST(3 AS BIGINT) AS n_rows, CAST(6 AS BIGINT) AS n_cells,
+        |    '| Name | V ' || id || ' |' || chr(10) || '| --- | --- |'
+        |      || chr(10) || '| alpha | 1 |' || chr(10) || '| beta | 2 |' AS md
+        |  FROM d
+        |  UNION ALL
+        |  SELECT 'ragged', 1, 2, 6,
+        |    '| A | B ' || id || ' | C |' || chr(10) || '| --- | --- | --- |'
+        |      || chr(10) || '| d |  | f |'
+        |  FROM d
+        |  UNION ALL
+        |  SELECT 'join', 1, 2, 4,
+        |    '| a b | v ' || id || ' |' || chr(10) || '| --- | --- |'
+        |      || chr(10) || '| c | d |'
+        |  FROM d
+        |  UNION ALL
+        |  SELECT 'twotab', 2, 4, 8,
+        |    '| h1 | h2 ' || id || ' |' || chr(10) || '| --- | --- |'
+        |      || chr(10) || '| a | b |'
+        |  FROM d
+        |  UNION ALL
+        |  SELECT 'layout', 0, 0, 0, '' FROM d)
+        |SELECT kind, count(*) AS n_docs,
+        |  CAST(sum(n_tables) AS BIGINT) AS sum_tables,
+        |  CAST(sum(n_rows) AS BIGINT) AS sum_rows,
+        |  CAST(sum(n_cells) AS BIGINT) AS sum_cells,
+        |  CAST(count(DISTINCT md) AS BIGINT) AS n_md_distinct,
+        |  min(md) AS min_md
+        |FROM e GROUP BY kind ORDER BY kind""".stripMargin,
+    // q58: every extracted metadata string stated in closed form per
+    // battery case (first-wins, head scoping, truncation all visible in
+    // which fields are empty).
+    "q58_page_meta" ->
+      """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
+        |e AS (
+        |  SELECT 'full' AS kind, 'Doc & ' || id AS title,
+        |    'desc ' || id AS description, 'OG ' || id AS og_title,
+        |    'https://c.example.com/' || id AS canonical, 'en' AS lang
+        |  FROM d
+        |  UNION ALL SELECT 'firstwins', 'W ' || id, '', 'one ' || id, '', '' FROM d
+        |  UNION ALL SELECT 'bodyspam', 'T ' || id, '', '', '', '' FROM d
+        |  UNION ALL SELECT 'truncated', 'K ' || id, '', '', '', '' FROM d
+        |  UNION ALL SELECT 'tokenrel', '', 'D ' || id, '',
+        |    'https://r.example.com/' || id, '' FROM d)
+        |SELECT kind, count(*) AS n_docs,
+        |  CAST(count(DISTINCT title) AS BIGINT) AS n_titles,
+        |  min(title) AS min_title, min(description) AS min_desc,
+        |  min(og_title) AS min_og, min(canonical) AS min_canonical,
+        |  max(lang) AS max_lang
+        |FROM e GROUP BY kind ORDER BY kind""".stripMargin,
+    // q59: the latest revision is the one with max fetch_ms (rev
+    // doc_id%3), so the compacted state is stated per url in closed
+    // form, then aggregated identically.
+    "q59_snapshot_compact" ->
+      """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS id, lang,
+        |    length(text) AS len0 FROM documents),
+        |u AS (SELECT lang, id % 3 + 1 AS n_revs,
+        |    len0 + (id % 3) * 7 AS latest_len,
+        |    id * 1000 + id % 3 AS fetch_ms FROM d)
+        |SELECT lang, count(*) AS n_urls,
+        |  CAST(sum(n_revs) AS BIGINT) AS n_rows_in,
+        |  CAST(sum(CASE WHEN n_revs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_compacted,
+        |  CAST(sum(latest_len) AS BIGINT) AS sum_latest_len,
+        |  CAST(max(fetch_ms) AS BIGINT) AS max_fetch_ms
+        |FROM u GROUP BY lang ORDER BY lang""".stripMargin,
   )
 }

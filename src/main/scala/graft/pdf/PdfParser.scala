@@ -66,31 +66,46 @@ object PdfParser {
     * conservative width estimate crosses into the right side's x-start
     * proves the gap is not a gutter. */
   private[graft] def orderColumns(ls: Seq[PdfLine]): Seq[PdfLine] = {
-    def splitCols(c: Seq[PdfLine]): Seq[Seq[PdfLine]] = {
-      if (c.length < 6) return Seq(c)
-      val xs = c.map(_.x).distinct.sorted
-      if (xs.length < 2) return Seq(c)
-      var bestGap = 0.0
-      var split = 0.0
-      var i = 1
-      while (i < xs.length) {
-        val g = xs(i) - xs(i - 1)
-        if (g > bestGap) { bestGap = g; split = (xs(i) + xs(i - 1)) / 2 }
-        i += 1
+    def splitCols(c: Seq[PdfLine]): Seq[Seq[PdfLine]] =
+      gutterX(c) match {
+        case None => Seq(c)
+        case Some(split) =>
+          val (left, right) = c.partition(_.x < split)
+          splitCols(left) ++ splitCols(right)
       }
-      if (bestGap < MinGutterPts) return Seq(c)
-      val (left, right) = c.partition(_.x < split)
-      if (left.length < 3 || right.length < 3) return Seq(c)
-      val minFrac = math.max(3, (c.length * MinColumnFraction).toInt)
-      if (left.length < minFrac || right.length < minFrac) return Seq(c)
-      val rightMinX = right.map(_.x).min
-      if (left.exists(l => l.x + l.text.length * MinCharWidthPts > rightMinX))
-        return Seq(c)
-      splitCols(left) ++ splitCols(right)
-    }
     val cols = splitCols(ls)
     if (cols.length == 1) ls
     else cols.flatMap(_.sortBy(l => -l.y)) // Scala sortBy is stable
+  }
+
+  /** The x midpoint of a column gutter in `c` when the page-layout column
+    * test passes (largest x-start gap ≥ [[MinGutterPts]], both sides hold
+    * ≥3 lines and ≥[[MinColumnFraction]] of the block, and no left-side
+    * line's conservative width crosses the right side's x-start), else
+    * None. Shared with [[PdfTable]], which uses the SAME predicate in
+    * reverse: a two-anchor block that would split here is a two-column
+    * page LAYOUT (read as columns), never a table. */
+  private[graft] def gutterX(c: Seq[PdfLine]): Option[Double] = {
+    if (c.length < 6) return None
+    val xs = c.map(_.x).distinct.sorted
+    if (xs.length < 2) return None
+    var bestGap = 0.0
+    var split = 0.0
+    var i = 1
+    while (i < xs.length) {
+      val g = xs(i) - xs(i - 1)
+      if (g > bestGap) { bestGap = g; split = (xs(i) + xs(i - 1)) / 2 }
+      i += 1
+    }
+    if (bestGap < MinGutterPts) return None
+    val (left, right) = c.partition(_.x < split)
+    if (left.length < 3 || right.length < 3) return None
+    val minFrac = math.max(3, (c.length * MinColumnFraction).toInt)
+    if (left.length < minFrac || right.length < minFrac) return None
+    val rightMinX = right.map(_.x).min
+    if (left.exists(l => l.x + l.text.length * MinCharWidthPts > rightMinX))
+      return None
+    Some(split)
   }
 
   /** Locate `stream ... endstream` payloads; inflate when the preceding

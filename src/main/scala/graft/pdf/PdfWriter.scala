@@ -86,6 +86,26 @@ object PdfWriter {
   def makeTwoColumn(left: Seq[String], right: Seq[String]): Array[Byte] =
     makeWithContent(contentStreamTwoColumn(left, right))
 
+  /** Absolutely-positioned cells — rows of (x, text) at y0, y0-dy, … —
+    * the shape a report generator emits for a table (each cell its own
+    * `Tm` + `Tj`). Rows may be ragged; an empty row emits nothing. */
+  def contentStreamCells(rows: Seq[Seq[(Int, String)]], y0: Int = 700,
+      dy: Int = 16): String = {
+    val b = new StringBuilder
+    b.append("BT\n/F1 12 Tf\n")
+    rows.zipWithIndex.foreach { case (cells, r) =>
+      val y = y0 - dy * r
+      cells.foreach { case (x, txt) =>
+        b.append(s"1 0 0 1 $x $y Tm\n(").append(escapeString(txt)).append(") Tj\n")
+      }
+    }
+    b.append("ET\n")
+    b.toString
+  }
+
+  def makeCells(rows: Seq[Seq[(Int, String)]]): Array[Byte] =
+    makeWithContent(contentStreamCells(rows))
+
   /** Full single-page PDF with a correct xref table. Lines must be
     * ISO-8859-1-representable (the generator keeps PDFs ASCII). */
   def make(lines: Seq[String]): Array[Byte] =
