@@ -1139,12 +1139,10 @@ object SparkEntry {
         .crossJoin(broadcast(corpus))
         .select(col("doc_id"), col("term"),
           // idf surrogate and tf saturation: one fixed expression tree
-          // over integer inputs -> bit-identical in DuckDB
-          (((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
-            ((col("tf") * lit(2.2)) /
-              (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) *
-                (col("dl") / (col("sum_dl").cast("double") / col("n_docs"))))))
-            ).as("c"))
+          // over integer inputs -> bit-identical in DuckDB; SHARED with
+          // the persisted-index path (x31) so they cannot drift
+          graft.functions.PostingsIndex.bm25Contrib(col("n_docs"),
+            col("df"), col("tf"), col("dl"), col("sum_dl")).as("c"))
       val scored = contrib.join(broadcast(queryTerms), Seq("term"))
         .groupBy(col("query_id"), col("doc_id"))
         .agg(max(when(col("tidx") === 1, col("c"))).as("c1"),
@@ -1768,6 +1766,42 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    "q60_recrawl_priority" -> ((s, dir) => {
+      // Recrawl scheduling — per-url change-rate estimation from fetch
+      // history (the Cho/Garcia-Molina frequency estimator in its
+      // Laplace-smoothed form), the feedback signal that decides which
+      // of 10^12 urls the crawler revisits first. Fetch logs are
+      // synthesized deterministically (doc_id%5+2 fetches per url; fetch
+      // r>0 observed a change iff (doc_id+r)%3==0) and the estimate is
+      // INTEGER rationals end to end — rate_mills = 1000*(changes+1) DIV
+      // (intervals+2) — so both engines agree bit-for-bit (the q35/q49
+      // discipline: no float division across engines). Scale: one
+      // url-keyed groupBy with map-side partial counts (the fetch-log
+      // fan-in), then a bounded (lang, bucket) audit agg.
+      val logRows = t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("id"), col("lang"))
+        .select(col("*"), explode(sequence(lit(0L), col("id") % 5 + 1)).as("r"))
+        .select(
+          concat(lit("https://"), lit("h"), col("id").cast("string"),
+            lit(".example.com/")).as("url"),
+          col("lang"),
+          when(col("r") > 0 && (col("id") + col("r")) % 3 === 0, 1L)
+            .otherwise(0L).as("changed"))
+      val perUrl = logRows.groupBy(col("url"), col("lang"))
+        .agg(count(lit(1)).as("n_fetches"),
+          sum(col("changed")).cast("long").as("n_changes"))
+        .withColumn("rate_mills",
+          expr("1000 * (n_changes + 1) DIV (n_fetches + 1)"))
+        .withColumn("bucket",
+          when(col("rate_mills") >= 500, "high")
+            .when(col("rate_mills") >= 200, "mid").otherwise("low"))
+      perUrl.groupBy(col("lang"), col("bucket"))
+        .agg(count(lit(1)).as("n_urls"),
+          sum(col("n_changes")).cast("long").as("sum_changes"),
+          sum(col("rate_mills")).cast("long").as("sum_rate_mills"))
+        .orderBy("lang", "bucket")
+    }),
+
     // ---- extraction pipeline (rows-only: not SQL-expressible) ----
     "x01_extract_plain" -> ((s, _) => {
       val (pagesDir, _) = microTables(s)
@@ -1917,6 +1951,24 @@ object SparkEntry {
       if (!graft.functions.IvfIndex.isCurrentCoded(s, idx, emb))
         graft.functions.IvfIndex.buildCoded(emb, idx)
       graft.functions.IvfIndex.queryCoded(s, idx, emb.filter(col("vec_id") < 5))
+    }),
+    "x31_bm25_index" -> ((s, dir) => {
+      // the persisted form of q44's text-retrieval scale path: the
+      // inverted index written once as a term-bucket-partitioned table;
+      // a query scans ONLY the bucket partitions its terms hash into
+      // (PartitionFilters pruning — the IvfIndex cells discipline
+      // applied to text) and shares q44's exact scoring expression, so
+      // PostingsIndexSpec pins index-served == scan-computed scores
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      val idx = s"$SynthRoot/postings_index_${math.abs(dir.hashCode)}"
+      if (!graft.functions.PostingsIndex.isCurrent(s, idx, docs))
+        graft.functions.PostingsIndex.build(docs, idx)
+      val queryTerms = Seq((1L, "spark", 1), (1L, "window", 2),
+        (2L, "merge", 1), (2L, "key", 2), (3L, "vector", 1), (3L, "batch", 2))
+        .toDF("query_id", "term", "tidx")
+      graft.functions.PostingsIndex.query(s, idx, queryTerms)
     }),
     "x22_outlinks" -> ((s, _) => {
       // host link-graph construction: map-side link extraction (streaming
@@ -3402,5 +3454,27 @@ object SparkEntry {
         |  CAST(sum(latest_len) AS BIGINT) AS sum_latest_len,
         |  CAST(max(fetch_ms) AS BIGINT) AS max_fetch_ms
         |FROM u GROUP BY lang ORDER BY lang""".stripMargin,
+    // q60: DuckDB steps the same fetch recurrence via generate_series
+    // and the same integer-rational estimator (// = integer division).
+    "q60_recrawl_priority" ->
+      """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS id, lang FROM documents),
+        |f AS (SELECT id, lang,
+        |        unnest(generate_series(0, id % 5 + 1)) AS r FROM d),
+        |u AS (SELECT id, lang, count(*) AS n_fetches,
+        |        CAST(sum(CASE WHEN r > 0 AND (id + r) % 3 = 0
+        |          THEN 1 ELSE 0 END) AS BIGINT) AS n_changes
+        |      FROM f GROUP BY id, lang),
+        |p AS (SELECT lang, n_changes,
+        |        1000 * (n_changes + 1) // (n_fetches + 1) AS rate_mills
+        |      FROM u),
+        |b AS (SELECT lang, n_changes, rate_mills,
+        |        CASE WHEN rate_mills >= 500 THEN 'high'
+        |             WHEN rate_mills >= 200 THEN 'mid'
+        |             ELSE 'low' END AS bucket
+        |      FROM p)
+        |SELECT lang, bucket, count(*) AS n_urls,
+        |  CAST(sum(n_changes) AS BIGINT) AS sum_changes,
+        |  CAST(sum(rate_mills) AS BIGINT) AS sum_rate_mills
+        |FROM b GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin,
   )
 }
