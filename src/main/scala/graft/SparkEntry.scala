@@ -1802,6 +1802,43 @@ object SparkEntry {
         .orderBy("lang", "bucket")
     }),
 
+    "q61_robots_sitemaps" -> ((s, dir) => {
+      // Robots `Sitemap:` declarations — the crawl-seeding link between
+      // q36 (fetchability) and q40 (sitemap parsing): a crawler
+      // discovers each host's sitemap set FROM its robots.txt. The
+      // declarations are GLOBAL records (group position irrelevant),
+      // dedup by first occurrence, directive case-insensitive, comments
+      // strip, empty values drop — all exercised per doc through the
+      // REAL parser; DuckDB states the surviving url list in closed
+      // form (the second declaration collides with the first exactly
+      // when doc_id%3==1, making the dedup arm non-vacuous). Map-side
+      // kernel, one audit-agg shuffle.
+      import s.implicits._
+      val rows = t(s, dir, "documents").select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val robots =
+              s"""User-agent: *
+                 |Disallow: /tmp
+                 |Sitemap: https://h$id.example.com/s1.xml
+                 |
+                 |User-agent: graftbot
+                 |SITEMAP: https://h$id.example.com/s${id % 3}.xml
+                 |Sitemap: https://h$id.example.com/s1.xml
+                 |# Sitemap: https://h$id.example.com/commented.xml
+                 |Sitemap:
+                 |""".stripMargin
+            val urls = graft.extract.Robots.sitemapUrls(robots)
+            (id, urls.length.toLong, urls.mkString("|"))
+          }
+        }.toDF("doc_id", "n_sitemaps", "urls")
+      rows.groupBy(col("n_sitemaps"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("urls")).as("n_distinct"),
+          min(col("urls")).as("min_urls"))
+        .orderBy("n_sitemaps")
+    }),
+
     // ---- extraction pipeline (rows-only: not SQL-expressible) ----
     "x01_extract_plain" -> ((s, _) => {
       val (pagesDir, _) = microTables(s)
@@ -3476,5 +3513,21 @@ object SparkEntry {
         |  CAST(sum(n_changes) AS BIGINT) AS sum_changes,
         |  CAST(sum(rate_mills) AS BIGINT) AS sum_rate_mills
         |FROM b GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin,
+    // q61: the surviving sitemap-url list per doc in closed form — the
+    // second declaration dedups away exactly when id%3==1.
+    "q61_robots_sitemaps" ->
+      """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
+        |e AS (SELECT id,
+        |  CASE WHEN id % 3 = 1 THEN CAST(1 AS BIGINT)
+        |       ELSE CAST(2 AS BIGINT) END AS n_sitemaps,
+        |  'https://h' || id || '.example.com/s1.xml' ||
+        |    CASE WHEN id % 3 = 1 THEN ''
+        |         ELSE '|https://h' || id || '.example.com/s'
+        |           || (id % 3) || '.xml' END AS urls
+        |  FROM d)
+        |SELECT n_sitemaps, count(*) AS n_docs,
+        |  CAST(count(DISTINCT urls) AS BIGINT) AS n_distinct,
+        |  min(urls) AS min_urls
+        |FROM e GROUP BY n_sitemaps ORDER BY n_sitemaps""".stripMargin,
   )
 }

@@ -25,6 +25,30 @@ object Robots {
   /** One rule: allow/disallow + raw pattern. */
   final case class Rule(allow: Boolean, pattern: String)
 
+  /** All `Sitemap:` declarations in the file, first-seen order, deduped.
+    * Sitemap is the sitemaps.org extension and is GLOBAL — it belongs to
+    * no user-agent group (RFC 9309 §2.2.4 treats it as an "other
+    * record"), so every agent sees every declaration regardless of where
+    * in the file it appears. Directive matches case-insensitively;
+    * `#` comments strip first; empty values drop. The crawl-seeding
+    * chain: these URLs feed [[Sitemaps.parse]], whose entries q48
+    * filters through [[evaluate]]. */
+  def sitemapUrls(txt: String): Seq[String] = {
+    val seen = scala.collection.mutable.LinkedHashSet.empty[String]
+    txt.split("\n").foreach { raw =>
+      val line = {
+        val h = raw.indexOf('#'); if (h >= 0) raw.substring(0, h) else raw
+      }.trim
+      val c = line.indexOf(':')
+      if (c > 0) {
+        val k = line.substring(0, c).trim.toLowerCase
+        val v = line.substring(c + 1).trim
+        if (k == "sitemap" && v.nonEmpty) seen += v
+      }
+    }
+    seen.toSeq
+  }
+
   /** Parse the rule group applicable to `agent` (product token,
     * case-insensitive). Unknown directives (sitemap, …) are ignored;
     * `#` starts a comment. */

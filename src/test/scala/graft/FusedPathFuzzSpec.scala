@@ -68,6 +68,39 @@ class FusedPathFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("sink-based kernels (TableMd, Meta, PdfTable) never throw on soup") {
+    val r = new scala.util.Random(0x7ab1efL)
+    (0 until 400).foreach { i =>
+      val bytes = soup(r).getBytes(UTF_8)
+      // TableMd: every extracted table is internally consistent
+      graft.extract.TableMd.extract(bytes).foreach { t =>
+        assert(t.rows.nonEmpty && t.headerRows >= 0 &&
+          t.headerRows <= t.rows.length, s"iter $i bad table shape")
+        assert(t.markdown.nonEmpty)
+      }
+      // Meta: fields are never null (the column-totality contract)
+      val pm = graft.extract.Meta.extract(bytes)
+      assert(pm.title != null && pm.description != null && pm.ogTitle != null &&
+        pm.ogDescription != null && pm.canonical != null &&
+        pm.publishedTime != null && pm.htmlLang != null, s"iter $i null field")
+    }
+    val rp = new scala.util.Random(0x7ab1e2L)
+    val pdfAtoms = Array("BT", "ET", "Tj", "TJ", "Td", "TD", "Tm", "T*",
+      "(cell)", "(unbalanced", "stream", "endstream", "1 0 0 1 72 700",
+      "0 -14", "[(a)(b)]", "%c\n", "4e3")
+    (0 until 400).foreach { i =>
+      val sb = new StringBuilder("%PDF-1.4\n")
+      (0 until rp.nextInt(60)).foreach { _ =>
+        if (rp.nextInt(5) == 0) sb.append(rp.nextInt(256).toChar)
+        else { sb.append(pdfAtoms(rp.nextInt(pdfAtoms.length))); sb.append(' ') }
+      }
+      graft.pdf.PdfTable.tables(sb.toString.getBytes(UTF_8)).foreach { t =>
+        assert(t.rows.length >= 2 && t.rows.forall(_.length >= 2),
+          s"iter $i degenerate pdf table")
+      }
+    }
+  }
+
   test("kernel extraction equals the reconstructed token-list pipeline on soup") {
     val r = new scala.util.Random(0xbeef1L)
     (0 until 300).foreach { i =>
