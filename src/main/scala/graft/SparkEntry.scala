@@ -2007,6 +2007,35 @@ object SparkEntry {
         .toDF("query_id", "term", "tidx")
       graft.functions.PostingsIndex.query(s, idx, queryTerms)
     }),
+    "x32_postings_upsert" -> ((s, dir) => {
+      // incremental index maintenance under crawl churn: q42's snapshot
+      // delta applied to the x31 postings index as a delta segment +
+      // tombstones (the Lucene segment model as plain parquet) — cost
+      // scales with the DELTA, never the corpus; queries merge segments
+      // and a tombstone kills only earlier segments. The spec pins
+      // upserted == full-rebuild bit-for-bit and that the incrementally
+      // XOR-maintained manifest matches the full post-delta corpus.
+      import s.implicits._
+      val a = t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      // the q42 delta recipe: %7 changed, %13 removed, %11 spawn new
+      val changedOld = a.filter(col("doc_id") % 7 === 0 && col("doc_id") % 13 =!= 0)
+      val removed = a.filter(col("doc_id") % 13 === 0)
+      val changedNew = changedOld.select(col("doc_id"),
+        concat(col("text"), lit(" updated v2")).as("text"))
+      val added = a.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + lit(1000000000L)).as("doc_id"),
+          concat(lit("new "), col("text")).as("text"))
+      val idx = s"$SynthRoot/postings_upsert_${math.abs(dir.hashCode)}"
+      // deterministic self-contained run: rebuild base, apply the delta
+      graft.functions.PostingsIndex.build(a, idx)
+      graft.functions.PostingsIndex.upsert(idx,
+        changedOld.unionByName(removed), changedNew.unionByName(added))
+      val queryTerms = Seq((1L, "spark", 1), (1L, "window", 2),
+        (2L, "merge", 1), (2L, "key", 2), (3L, "vector", 1), (3L, "batch", 2))
+        .toDF("query_id", "term", "tidx")
+      graft.functions.PostingsIndex.query(s, idx, queryTerms)
+    }),
     "x22_outlinks" -> ((s, _) => {
       // host link-graph construction: map-side link extraction (streaming
       // tokenizer, no DOM), ONE shuffle keyed by (src_host, dst_host) —

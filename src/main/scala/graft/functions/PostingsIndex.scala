@@ -12,15 +12,35 @@ import org.apache.spark.sql.functions._
   * documents the postings table is petabytes; a two-term query reads
   * ~2/nBuckets of it and never touches the corpus.
   *
+  * The index is maintained INCREMENTALLY under crawl churn with the
+  * segment + tombstone model (the Lucene architecture as plain
+  * parquet): [[upsert]] applies a snapshot delta (q42's
+  * changed/removed/added classification) by writing one NEW segment of
+  * postings plus a tombstone set — a term-hash-partitioned index cannot
+  * be patched in place because one document's terms hash across every
+  * bucket, so deltas append and queries merge. A tombstone in segment k
+  * kills that doc_id's postings in all EARLIER segments only (a changed
+  * doc's fresh postings live in the same segment as its tombstone).
+  *
   * Layout under `dir`:
-  *   postings/bucket=<b>/…parquet   (term, doc_id, tf, dl)
-  *   terms/bucket=<b>/…parquet      (term, df) — the document frequency
-  *   stats/…parquet                 one row: (n_docs, sum_dl)
-  *   MANIFEST                       staleness: row count + order-independent
-  *                                  content fingerprint + build params
-  *                                  (the [[IvfIndex]] manifest discipline —
-  *                                  an index surviving an in-place corpus
-  *                                  change must not serve stale scores)
+  *   postings/seg=<k>/bucket=<b>/…  (term, doc_id, tf, dl)
+  *   tombstones/seg=<k>/…           (doc_id) — dropped-or-changed as of k
+  *   stats/seg=<k>/…                one row of SIGNED deltas
+  *                                  (n_docs_delta, sum_dl_delta); totals
+  *                                  are exact integer sums, no rescan
+  *   MANIFEST                       staleness: row count +
+  *                                  order-independent content fingerprint
+  *                                  + nBuckets ([[IvfIndex]] discipline)
+  *   SEGS                           segment count
+  *
+  * The manifest fingerprint is an XOR, so [[upsert]] maintains it
+  * EXACTLY without touching unchanged rows (XOR out the old rows' hashes,
+  * XOR in the new rows') — after an upsert, [[isCurrent]] against the
+  * full new corpus holds, which the spec uses to prove the incremental
+  * bookkeeping introduces no drift. Document frequencies are computed
+  * in-query from the live (bucket-pruned, tombstone-filtered) postings —
+  * df is corpus state, and only the query's own terms' df is ever
+  * needed, so no df table has to be maintained under churn.
   *
   * Bucketing uses `pmod(xxhash64(term), nBuckets)` — the SAME Catalyst
   * expression at build and query time, so routing agrees by
@@ -44,17 +64,39 @@ object PostingsIndex {
   private def bucketOf(term: Column, nBuckets: Int): Column =
     pmod(xxhash64(term), lit(nBuckets.toLong))
 
-  /** (row count, content fingerprint) in one scan (cf.
-    * [[IvfIndex.contentFingerprint]]): XOR of xxhash64(doc_id, text) —
-    * partitioning-invariant, flips on any in-place text change. */
-  private def manifestStats(docs: DataFrame): (Long, Long) = {
-    val r = docs.select(xxhash64(col("doc_id"), col("text")).as("h"))
-      .agg(count(lit(1)).as("n"), expr("bit_xor(h)").as("fp")).head()
-    (r.getLong(0), r.getLong(1))
+  /** (row count, XOR content fingerprint, total token count) in one
+    * scan. The XOR fingerprint (cf. [[IvfIndex.contentFingerprint]]) is
+    * partitioning-invariant, flips on any in-place text change, and —
+    * the property [[upsert]] leans on — is removable/addable per row. */
+  private def corpusStats(docs: DataFrame): (Long, Long, Long) = {
+    val r = docs
+      .select(xxhash64(col("doc_id"), col("text")).as("h"),
+        size(split(col("text"), " ")).cast("long").as("dl"))
+      .agg(count(lit(1)).as("n"),
+        coalesce(expr("bit_xor(h)"), lit(0L)).as("fp"),
+        coalesce(sum(col("dl")), lit(0L)).as("dl")).head()
+    (r.getLong(0), r.getLong(1), r.getLong(2))
   }
 
-  private def manifestJson(st: (Long, Long), nBuckets: Int): String =
-    s"""{"rows":${st._1},"fingerprint":${st._2},"nBuckets":$nBuckets}"""
+  /** `layout` versions the on-disk shape: bumping it invalidates every
+    * pre-segment-model index (same rows/fingerprint, incompatible
+    * directory structure), forcing a rebuild instead of a runtime
+    * missing-column failure on a stale cache. */
+  private def manifestJson(rows: Long, fp: Long, nBuckets: Int): String =
+    s"""{"rows":$rows,"fingerprint":$fp,"nBuckets":$nBuckets,"layout":2}"""
+
+  private def writeText(path: String, txt: String): Unit =
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path), txt)
+
+  private def readLong(dir: String, file: String, key: String): Long = {
+    val txt = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$dir/$file"))
+    (s""""$key":(-?\\d+)""").r.findFirstMatchIn(txt) match {
+      case Some(m) => m.group(1).toLong
+      case None => throw new IllegalStateException(
+        s"PostingsIndex $file at $dir has no $key")
+    }
+  }
 
   /** Tokenization shared with q44: whitespace-delimited terms. */
   private def termFreqs(docs: DataFrame): DataFrame = {
@@ -67,43 +109,68 @@ object PostingsIndex {
       .agg(count(lit(1)).cast("long").as("tf"), first(col("dl")).as("dl"))
   }
 
-  /** Build the index. One explode + two term-keyed aggs (both absorb
-    * mega-terms map-side); the bucket write is the only wide exchange. */
+  private def writeStatsSeg(spark: SparkSession, dir: String, seg: Int,
+      nDocsDelta: Long, sumDlDelta: Long): Unit =
+    spark.range(1)
+      .select(lit(nDocsDelta).as("n_docs_delta"),
+        lit(sumDlDelta).as("sum_dl_delta"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats/seg=$seg")
+
+  /** Build segment 0 from the full corpus. One explode + one
+    * (doc, term)-keyed agg (absorbs mega-terms map-side); the bucket
+    * write is the only wide exchange. Clears any prior index at `dir`
+    * (stale delta segments must not survive a rebuild). */
   def build(docs: DataFrame, dir: String, nBuckets: Int = 32): Unit = {
     val spark = docs.sparkSession
-    val tf = termFreqs(docs)
-    tf.withColumn("bucket", bucketOf(col("term"), nBuckets))
-      .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/postings")
-    tf.groupBy(col("term"))
-      .agg(countDistinct(col("doc_id")).as("df"))
-      .withColumn("bucket", bucketOf(col("term"), nBuckets))
-      .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/terms")
-    docs.select(col("doc_id").cast("long").as("doc_id"),
-        size(split(col("text"), " ")).cast("long").as("dl"))
-      .agg(count(lit(1)).cast("long").as("n_docs"),
-        sum(col("dl")).cast("long").as("sum_dl"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/MANIFEST"),
-      manifestJson(manifestStats(docs), nBuckets))
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    termFreqs(docs).withColumn("bucket", bucketOf(col("term"), nBuckets))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$dir/postings/seg=0")
+    val (rows, fp, dl) = corpusStats(docs)
+    writeStatsSeg(spark, dir, 0, rows, dl)
+    writeText(s"$dir/MANIFEST", manifestJson(rows, fp, nBuckets))
+    writeText(s"$dir/SEGS", """{"segs":1}""")
+  }
+
+  /** Apply a snapshot delta WITHOUT a rebuild. `oldDocs` = the
+    * changed-or-removed rows AS OF THE PREVIOUS snapshot (their old
+    * text — q42's full-outer-join classification has both sides in
+    * hand); `newDocs` = the changed-or-added rows with their new text.
+    * Writes one postings segment (newDocs only), one tombstone set
+    * (oldDocs' ids), one signed stats delta, and updates the manifest
+    * incrementally (rows ± counts, fingerprint XOR) so [[isCurrent]]
+    * against the full post-delta corpus holds exactly. Cost scales with
+    * the DELTA, never the corpus. */
+  def upsert(dir: String, oldDocs: DataFrame, newDocs: DataFrame): Unit = {
+    val spark = oldDocs.sparkSession
+    val nb = readLong(dir, "MANIFEST", "nBuckets").toInt
+    val seg = readLong(dir, "SEGS", "segs").toInt
+    val (nOld, fpOld, dlOld) = corpusStats(oldDocs)
+    val (nNew, fpNew, dlNew) = corpusStats(newDocs)
+    termFreqs(newDocs).withColumn("bucket", bucketOf(col("term"), nb))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$dir/postings/seg=$seg")
+    oldDocs.select(col("doc_id").cast("long").as("doc_id")).distinct()
+      .write.mode("overwrite").parquet(s"$dir/tombstones/seg=$seg")
+    writeStatsSeg(spark, dir, seg, nNew - nOld, dlNew - dlOld)
+    val rows = readLong(dir, "MANIFEST", "rows") + nNew - nOld
+    val fp = readLong(dir, "MANIFEST", "fingerprint") ^ fpOld ^ fpNew
+    writeText(s"$dir/MANIFEST", manifestJson(rows, fp, nb))
+    writeText(s"$dir/SEGS", s"""{"segs":${seg + 1}}""")
   }
 
   /** True when a usable index exists at `dir` AND its manifest matches
-    * the given corpus (row count + content fingerprint + params). */
+    * the given corpus (row count + content fingerprint + params) —
+    * whether the index got there by [[build]] or by a chain of
+    * [[upsert]]s. */
   def isCurrent(spark: SparkSession, dir: String, docs: DataFrame,
       nBuckets: Int = 32): Boolean = {
     val m = java.nio.file.Paths.get(s"$dir/MANIFEST")
-    java.nio.file.Files.exists(m) &&
-      java.nio.file.Files.readString(m) ==
-        manifestJson(manifestStats(docs), nBuckets)
-  }
-
-  private def readNBuckets(dir: String): Int = {
-    val txt = java.nio.file.Files.readString(
-      java.nio.file.Paths.get(s"$dir/MANIFEST"))
-    """"nBuckets":(\d+)""".r.findFirstMatchIn(txt) match {
-      case Some(m) => m.group(1).toInt
-      case None => throw new IllegalStateException(
-        s"PostingsIndex MANIFEST at $dir has no nBuckets")
+    java.nio.file.Files.exists(m) && {
+      val (rows, fp, _) = corpusStats(docs)
+      java.nio.file.Files.readString(m) == manifestJson(rows, fp, nBuckets)
     }
   }
 
@@ -111,14 +178,17 @@ object PostingsIndex {
     * (query_id LONG, term STRING, tidx INT) with tidx ∈ {1,2} — the
     * two-term written-order float sum q44 uses for cross-engine
     * bit-exactness. Only the bucket partitions the query terms hash
-    * into are scanned (PartitionFilters on `bucket`); query terms, df
-    * rows, and corpus stats all broadcast. Returns the q44 columns
-    * plus audit columns (n_buckets, n_buckets_scanned) — the x21
+    * into are scanned, across ALL segments (PartitionFilters on
+    * `bucket`); tombstones kill earlier-segment postings of rewritten
+    * docs; df comes from the live rows themselves; query terms, df
+    * rows, and corpus stats all broadcast. Returns the q44 columns plus
+    * audit columns (n_buckets, n_buckets_scanned, n_segs) — the x21
     * discipline: a persisted result carries the settings it was
     * produced under. */
   def query(spark: SparkSession, dir: String, queryTerms: DataFrame,
       k: Int = 5): DataFrame = {
-    val nb = readNBuckets(dir)
+    val nb = readLong(dir, "MANIFEST", "nBuckets").toInt
+    val nSegs = readLong(dir, "SEGS", "segs").toInt
     val qt = queryTerms.select(col("query_id").cast("long").as("query_id"),
         col("term"), col("tidx").cast("int").as("tidx"))
       .withColumn("bucket", bucketOf(col("term"), nb))
@@ -129,12 +199,24 @@ object PostingsIndex {
     val post = spark.read.parquet(s"$dir/postings")
       .filter(col("bucket").isin(buckets: _*))
       .join(broadcast(vocab), Seq("term"))
-    val dfT = spark.read.parquet(s"$dir/terms")
-      .filter(col("bucket").isin(buckets: _*))
-      .join(broadcast(vocab), Seq("term"))
-      .select(col("term"), col("df"))
+    val tombDir = java.nio.file.Paths.get(s"$dir/tombstones")
+    val live0 =
+      if (java.nio.file.Files.exists(tombDir)) {
+        val tombs = spark.read.parquet(s"$dir/tombstones")
+          .select(col("doc_id").as("t_doc_id"), col("seg").as("t_seg"))
+        // a tombstone at segment k kills ONLY earlier segments' postings
+        post.join(broadcast(tombs),
+          post("doc_id") === col("t_doc_id") && post("seg") < col("t_seg"),
+          "left_anti")
+      } else post
+    val live = live0.select(col("term"), col("doc_id"), col("tf"), col("dl"))
+    // df from the live rows: bounded by the query terms' postings
+    val dfT = live.groupBy(col("term"))
+      .agg(countDistinct(col("doc_id")).as("df"))
     val stats = spark.read.parquet(s"$dir/stats")
-    val contrib = post
+      .agg(sum(col("n_docs_delta")).cast("long").as("n_docs"),
+        sum(col("sum_dl_delta")).cast("long").as("sum_dl"))
+    val contrib = live
       .join(broadcast(dfT), Seq("term"))
       .crossJoin(broadcast(stats))
       .select(col("doc_id"), col("term"),
@@ -153,7 +235,8 @@ object PostingsIndex {
       .select(col("query_id"), col("rank"), col("id").as("doc_id"),
         floor(col("score") * 1e6).cast("long").as("score_x1e6"),
         lit(nb).as("n_buckets"),
-        lit(buckets.length).as("n_buckets_scanned"))
+        lit(buckets.length).as("n_buckets_scanned"),
+        lit(nSegs).as("n_segs"))
       .orderBy("query_id", "rank")
   }
 }

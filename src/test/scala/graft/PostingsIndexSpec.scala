@@ -68,6 +68,61 @@ class PostingsIndexSpec extends AnyFunSuite {
     assert(!PostingsIndex.isCurrent(spark, dir, docs, nBuckets = 8))
   }
 
+  test("upsert == full rebuild, bit-for-bit (segments, tombstones, live df)") {
+    import spark.implicits._
+    val snapA = Seq(
+      (1L, "spark window merge"), (2L, "merge key join"),
+      (3L, "vector batch spark"), (4L, "key window batch"),
+      (5L, "spark spark merge")).toDF("doc_id", "text")
+    // delta: doc 2 changes, doc 4 removed, doc 6 added (the q42 classes)
+    val changedOld = snapA.filter(col("doc_id") === 2L)
+    val removed = snapA.filter(col("doc_id") === 4L)
+    val changedNew = Seq((2L, "merge key join updated spark")).toDF("doc_id", "text")
+    val added = Seq((6L, "new window vector")).toDF("doc_id", "text")
+    val snapB = snapA.filter(!col("doc_id").isin(2L, 4L))
+      .unionByName(changedNew).unionByName(added)
+    val qt = Seq((1L, "spark", 1), (1L, "window", 2),
+      (2L, "merge", 1), (2L, "key", 2)).toDF("query_id", "term", "tidx")
+    val incDir = java.nio.file.Files.createTempDirectory("postings_inc").toString
+    PostingsIndex.build(snapA, incDir)
+    PostingsIndex.upsert(incDir,
+      changedOld.unionByName(removed), changedNew.unionByName(added))
+    val fullDir = java.nio.file.Files.createTempDirectory("postings_full").toString
+    PostingsIndex.build(snapB, fullDir)
+    def res(d: String) = PostingsIndex.query(spark, d, qt)
+      .select("query_id", "rank", "doc_id", "score_x1e6")
+      .collect().map(_.toString).toSeq
+    assert(res(incDir) == res(fullDir))
+    // the incrementally-maintained manifest equals the FULL new corpus's
+    // (rows ± counts, fingerprint XOR) — no drift
+    assert(PostingsIndex.isCurrent(spark, incDir, snapB))
+    assert(!PostingsIndex.isCurrent(spark, incDir, snapA))
+    // audit: the upserted index reports its segment count
+    val segs = PostingsIndex.query(spark, incDir, qt)
+      .select("n_segs").distinct().collect()
+    assert(segs.length == 1 && segs.head.getInt(0) == 2)
+  }
+
+  test("a doc changed twice: only the newest segment's postings survive") {
+    import spark.implicits._
+    val v1 = Seq((1L, "alpha beta"), (2L, "alpha zeta")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("postings_twice").toString
+    PostingsIndex.build(v1, dir)
+    val v2row = Seq((1L, "alpha gamma")).toDF("doc_id", "text")
+    PostingsIndex.upsert(dir, v1.filter(col("doc_id") === 1L), v2row)
+    val v3row = Seq((1L, "alpha delta")).toDF("doc_id", "text")
+    PostingsIndex.upsert(dir, v2row, v3row)
+    def hits(term: String) = PostingsIndex.query(spark, dir,
+        Seq((1L, term, 1)).toDF("query_id", "term", "tidx"))
+      .collect().map(_.getLong(2)).toSet
+    assert(hits("delta") == Set(1L)) // newest text serves
+    assert(hits("beta").isEmpty)     // seg-0 postings tombstoned
+    assert(hits("gamma").isEmpty)    // seg-1 postings tombstoned by seg 2
+    assert(hits("alpha") == Set(1L, 2L)) // untouched doc 2 still live
+    val v3 = Seq((1L, "alpha delta"), (2L, "alpha zeta")).toDF("doc_id", "text")
+    assert(PostingsIndex.isCurrent(spark, dir, v3))
+  }
+
   test("query terms absent from the corpus contribute nothing, never fail") {
     import spark.implicits._
     val docs = Seq((1L, "alpha beta"), (2L, "beta gamma"), (3L, "gamma alpha"))
