@@ -161,6 +161,55 @@ object PostingsIndex {
     writeText(s"$dir/SEGS", s"""{"segs":${seg + 1}}""")
   }
 
+  /** Merge all segments back into one — the Lucene compaction step that
+    * completes the lifecycle (build → upsert* → compact → upsert* …).
+    * Segments cost queries an ever-growing tombstone anti-join and
+    * multi-directory scan; compaction materializes the LIVE rows
+    * (tombstones applied) as a fresh segment 0 and drops the tombstone
+    * and delta history. The corpus is unchanged, so the MANIFEST is
+    * untouched — [[isCurrent]] holds across a compact, and query
+    * results are identical before and after (spec-pinned). Cost: one
+    * full read + write of the live postings — amortize over many
+    * upserts, exactly like Lucene merges. */
+  def compact(spark: SparkSession, dir: String): Unit = {
+    val nb = readLong(dir, "MANIFEST", "nBuckets").toInt
+    val tot = spark.read.parquet(s"$dir/stats")
+      .agg(coalesce(sum(col("n_docs_delta")), lit(0L)).as("n"),
+        coalesce(sum(col("sum_dl_delta")), lit(0L)).as("dl")).head()
+    val (totN, totDl) = (tot.getLong(0), tot.getLong(1))
+    val live = applyTombstones(spark, dir,
+        spark.read.parquet(s"$dir/postings"))
+      .select(col("term"), col("doc_id"), col("tf"), col("dl"),
+        col("bucket"))
+    // write-then-swap: the live rows are read lazily from the very
+    // directories being replaced, so materialize to a temp dir first
+    val conf = spark.sparkContext.hadoopConfiguration
+    val tmp = new org.apache.hadoop.fs.Path(s"$dir/.compact-tmp")
+    val fs = tmp.getFileSystem(conf)
+    live.write.mode("overwrite").partitionBy("bucket").parquet(tmp.toString)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/postings"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/tombstones"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/stats"), true)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/postings"))
+    fs.rename(tmp, new org.apache.hadoop.fs.Path(s"$dir/postings/seg=0"))
+    writeStatsSeg(spark, dir, 0, totN, totDl)
+    writeText(s"$dir/SEGS", """{"segs":1}""")
+  }
+
+  /** Kill postings of docs rewritten in LATER segments (a tombstone at
+    * segment k applies to segments < k only). Shared by [[query]] and
+    * [[compact]]. */
+  private def applyTombstones(spark: SparkSession, dir: String,
+      post: DataFrame): DataFrame = {
+    val tombDir = java.nio.file.Paths.get(s"$dir/tombstones")
+    if (!java.nio.file.Files.exists(tombDir)) return post
+    val tombs = spark.read.parquet(s"$dir/tombstones")
+      .select(col("doc_id").as("t_doc_id"), col("seg").as("t_seg"))
+    post.join(broadcast(tombs),
+      post("doc_id") === col("t_doc_id") && post("seg") < col("t_seg"),
+      "left_anti")
+  }
+
   /** True when a usable index exists at `dir` AND its manifest matches
     * the given corpus (row count + content fingerprint + params) —
     * whether the index got there by [[build]] or by a chain of
@@ -199,17 +248,8 @@ object PostingsIndex {
     val post = spark.read.parquet(s"$dir/postings")
       .filter(col("bucket").isin(buckets: _*))
       .join(broadcast(vocab), Seq("term"))
-    val tombDir = java.nio.file.Paths.get(s"$dir/tombstones")
-    val live0 =
-      if (java.nio.file.Files.exists(tombDir)) {
-        val tombs = spark.read.parquet(s"$dir/tombstones")
-          .select(col("doc_id").as("t_doc_id"), col("seg").as("t_seg"))
-        // a tombstone at segment k kills ONLY earlier segments' postings
-        post.join(broadcast(tombs),
-          post("doc_id") === col("t_doc_id") && post("seg") < col("t_seg"),
-          "left_anti")
-      } else post
-    val live = live0.select(col("term"), col("doc_id"), col("tf"), col("dl"))
+    val live = applyTombstones(spark, dir, post)
+      .select(col("term"), col("doc_id"), col("tf"), col("dl"))
     // df from the live rows: bounded by the query terms' postings
     val dfT = live.groupBy(col("term"))
       .agg(countDistinct(col("doc_id")).as("df"))

@@ -123,6 +123,41 @@ class PostingsIndexSpec extends AnyFunSuite {
     assert(PostingsIndex.isCurrent(spark, dir, v3))
   }
 
+  test("compact merges segments; results and manifest are unchanged") {
+    import spark.implicits._
+    val v1 = Seq((1L, "alpha beta"), (2L, "alpha zeta"), (3L, "beta zeta"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("postings_compact").toString
+    PostingsIndex.build(v1, dir)
+    val v2row = Seq((1L, "alpha gamma")).toDF("doc_id", "text")
+    PostingsIndex.upsert(dir, v1.filter(col("doc_id") === 1L), v2row)
+    val added = Seq((4L, "gamma beta")).toDF("doc_id", "text")
+    // a pure-addition delta: the old side is empty
+    PostingsIndex.upsert(dir, Seq.empty[(Long, String)].toDF("doc_id", "text"),
+      added)
+    val qt = Seq((1L, "alpha", 1), (1L, "beta", 2), (2L, "gamma", 1),
+      (2L, "zeta", 2)).toDF("query_id", "term", "tidx")
+    def res() = PostingsIndex.query(spark, dir, qt)
+      .select("query_id", "rank", "doc_id", "score_x1e6")
+      .collect().map(_.toString).toSeq
+    val before = res()
+    PostingsIndex.compact(spark, dir)
+    assert(res() == before)
+    // one segment remains; the corpus — hence the manifest — is unchanged
+    val segs = PostingsIndex.query(spark, dir, qt)
+      .select("n_segs").distinct().collect()
+    assert(segs.length == 1 && segs.head.getInt(0) == 1)
+    val v3 = Seq((1L, "alpha gamma"), (2L, "alpha zeta"), (3L, "beta zeta"),
+      (4L, "gamma beta")).toDF("doc_id", "text")
+    assert(PostingsIndex.isCurrent(spark, dir, v3))
+    // the lifecycle continues: an upsert after compact still works
+    PostingsIndex.upsert(dir, v3.filter(col("doc_id") === 3L),
+      Seq((3L, "beta beta")).toDF("doc_id", "text"))
+    val v4 = Seq((1L, "alpha gamma"), (2L, "alpha zeta"), (3L, "beta beta"),
+      (4L, "gamma beta")).toDF("doc_id", "text")
+    assert(PostingsIndex.isCurrent(spark, dir, v4))
+  }
+
   test("query terms absent from the corpus contribute nothing, never fail") {
     import spark.implicits._
     val docs = Seq((1L, "alpha beta"), (2L, "beta gamma"), (3L, "gamma alpha"))
