@@ -1839,6 +1839,43 @@ object SparkEntry {
         .orderBy("n_sitemaps")
     }),
 
+    "q62_crawl_budget" -> ((s, dir) => {
+      // Crawl budget allocation — apportion a global fetch budget across
+      // domains proportionally to their page counts by the LARGEST-
+      // REMAINDER method (Hamilton's): base = floor(B*n_i/N), then the
+      // leftover slots go one each to the largest remainders (tie-break
+      // by domain name, deterministic). Integer arithmetic end to end —
+      // quotas sum EXACTLY to the budget, no float drift, and DuckDB
+      // steps the identical recurrence. Scale note: the ranked set is
+      // the DOMAIN table, orders of magnitude smaller than the page
+      // corpus (the page-level work is one source-keyed count with
+      // map-side partial agg); a global sort of the domain table is the
+      // textbook acceptable global sort — it is the OUTPUT, not the
+      // data. B chosen non-divisible so the remainder arm is never
+      // vacuous.
+      val B = 997L // prime: never divides evenly across domain counts
+      val counts = t(s, dir, "documents")
+        .groupBy(col("source")).agg(count(lit(1)).cast("long").as("n_docs"))
+      val total = counts.agg(sum(col("n_docs")).cast("long").as("n_total"))
+      val based = counts.crossJoin(broadcast(total))
+        .select(col("source"), col("n_docs"), col("n_total"),
+          // integer DIV, not float divide: 997*n/N in doubles can land
+          // at x.9999… and floor wrong; DIV is exact in both engines
+          expr(s"($B * n_docs) DIV n_total").as("base_quota"),
+          ((lit(B) * col("n_docs")) % col("n_total")).as("remainder"))
+      val w = Window.orderBy(col("remainder").desc, col("source").asc)
+      based
+        .withColumn("r_rank", row_number().over(w))
+        .crossJoin(broadcast(based.agg(
+          (lit(B) - sum(col("base_quota"))).cast("long").as("n_extra"))))
+        .select(col("source"), col("n_docs"), col("base_quota"),
+          when(col("r_rank") <= col("n_extra"), 1L).otherwise(0L).as("extra"),
+          (col("base_quota") +
+            when(col("r_rank") <= col("n_extra"), 1L).otherwise(0L))
+            .as("quota"))
+        .orderBy("source")
+    }),
+
     // ---- extraction pipeline (rows-only: not SQL-expressible) ----
     "x01_extract_plain" -> ((s, _) => {
       val (pagesDir, _) = microTables(s)
@@ -3558,5 +3595,24 @@ object SparkEntry {
         |  CAST(count(DISTINCT urls) AS BIGINT) AS n_distinct,
         |  min(urls) AS min_urls
         |FROM e GROUP BY n_sitemaps ORDER BY n_sitemaps""".stripMargin,
+    // q62: identical largest-remainder recurrence — integer DIV/mod and
+    // the same (remainder DESC, source ASC) rank.
+    "q62_crawl_budget" ->
+      """WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+        |           FROM documents GROUP BY source),
+        |t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total FROM c),
+        |b AS (SELECT source, n_docs,
+        |        (997 * n_docs) // n_total AS base_quota,
+        |        (997 * n_docs) % n_total AS remainder
+        |      FROM c, t),
+        |r AS (SELECT *, row_number() OVER
+        |        (ORDER BY remainder DESC, source ASC) AS r_rank FROM b),
+        |x AS (SELECT CAST(997 - sum(base_quota) AS BIGINT) AS n_extra FROM b)
+        |SELECT source, n_docs, CAST(base_quota AS BIGINT) AS base_quota,
+        |  CAST(CASE WHEN r_rank <= n_extra THEN 1 ELSE 0 END AS BIGINT)
+        |    AS extra,
+        |  CAST(base_quota + CASE WHEN r_rank <= n_extra THEN 1 ELSE 0 END
+        |    AS BIGINT) AS quota
+        |FROM r, x ORDER BY source""".stripMargin,
   )
 }
