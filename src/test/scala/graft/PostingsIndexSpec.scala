@@ -158,6 +158,23 @@ class PostingsIndexSpec extends AnyFunSuite {
     assert(PostingsIndex.isCurrent(spark, dir, v4))
   }
 
+  test("build is partitioning-invariant: 1 vs 8 input partitions serve identically") {
+    import spark.implicits._
+    val docs = (1L to 40L).map(i =>
+      (i, s"alpha w$i beta ${if (i % 3 == 0) "gamma" else "delta"}"))
+      .toDF("doc_id", "text")
+    val qt = Seq((1L, "alpha", 1), (1L, "gamma", 2), (2L, "beta", 1),
+      (2L, "delta", 2)).toDF("query_id", "term", "tidx")
+    def serve(parts: Int): Seq[String] = {
+      val dir = java.nio.file.Files.createTempDirectory(s"postings_p$parts").toString
+      PostingsIndex.build(docs.repartition(parts), dir)
+      PostingsIndex.query(spark, dir, qt)
+        .select("query_id", "rank", "doc_id", "score_x1e6")
+        .collect().map(_.toString).toSeq
+    }
+    assert(serve(1) == serve(8))
+  }
+
   test("query terms absent from the corpus contribute nothing, never fail") {
     import spark.implicits._
     val docs = Seq((1L, "alpha beta"), (2L, "beta gamma"), (3L, "gamma alpha"))
