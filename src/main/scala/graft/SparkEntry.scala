@@ -1876,6 +1876,41 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    "q63_bpe_encode" -> ((s, dir) => {
+      // BPE encode with a VALUE oracle (x30 is rows-only): the merge
+      // table is learned by the deterministic local reference from the
+      // classic Sennrich vocabulary — {low:5, lower:2, newest:6,
+      // widest:3}, k=4 gives merges (e,s),(es,t),(l,o),(lo,w), pinned
+      // by BpeSpec — so the segmentation of ANY word is a closed-form
+      // fact DuckDB can state. Four word shapes per doc cover: a fully
+      // trained word, an unseen word built from trained subwords, an
+      // untouched-character word, and the single-symbol fast path.
+      // Scale shape: the merge table broadcasts in the closure (it is
+      // KB-sized); encode is map-only; one audit-agg shuffle.
+      import s.implicits._
+      val merges = graft.functions.Bpe.learnMergesLocal(Seq(
+        ("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L)), 4)
+        .map(m => (m.left, m.right))
+      val rows = t(s, dir, "documents").select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val word = (id % 4) match {
+              case 0 => "lowest"
+              case 1 => "newest"
+              case 2 => "low"
+              case _ => "wider"
+            }
+            val toks = graft.functions.Bpe.encode(word, merges)
+            (word, toks.length.toLong, toks.mkString("|"))
+          }
+        }.toDF("word", "n_tokens", "seg")
+      rows.groupBy(col("word"))
+        .agg(count(lit(1)).as("n_docs"),
+          max(col("n_tokens")).as("n_tokens"),
+          min(col("seg")).as("seg"))
+        .orderBy("word")
+    }),
+
     // ---- extraction pipeline (rows-only: not SQL-expressible) ----
     "x01_extract_plain" -> ((s, _) => {
       val (pagesDir, _) = microTables(s)
@@ -3614,5 +3649,21 @@ object SparkEntry {
         |  CAST(base_quota + CASE WHEN r_rank <= n_extra THEN 1 ELSE 0 END
         |    AS BIGINT) AS quota
         |FROM r, x ORDER BY source""".stripMargin,
+    // q63: the merge table (e,s),(es,t),(l,o),(lo,w) is a deterministic
+    // fact of the pinned training vocab, so each word's segmentation is
+    // closed-form.
+    "q63_bpe_encode" ->
+      """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
+        |e AS (SELECT
+        |  CASE id % 4 WHEN 0 THEN 'lowest' WHEN 1 THEN 'newest'
+        |    WHEN 2 THEN 'low' ELSE 'wider' END AS word,
+        |  CASE id % 4 WHEN 0 THEN 2 WHEN 1 THEN 4
+        |    WHEN 2 THEN 1 ELSE 5 END AS n_tokens,
+        |  CASE id % 4 WHEN 0 THEN 'low|est' WHEN 1 THEN 'n|e|w|est'
+        |    WHEN 2 THEN 'low' ELSE 'w|i|d|e|r' END AS seg
+        | FROM d)
+        |SELECT word, count(*) AS n_docs,
+        |  CAST(max(n_tokens) AS BIGINT) AS n_tokens, min(seg) AS seg
+        |FROM e GROUP BY word ORDER BY word""".stripMargin,
   )
 }
