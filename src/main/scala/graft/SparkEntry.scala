@@ -1911,6 +1911,103 @@ object SparkEntry {
         .orderBy("word")
     }),
 
+    "q64_simhash_hamming" -> ((s, dir) => {
+      // Near-dup pair mining at Hamming distance <= 3 over 64-bit
+      // signatures via the Manku/Jain/Sarma multi-block pigeonhole
+      // join (functions/HammingNearDup) — completing the SimHash
+      // family: x07 computes signatures, this finds the PAIRS. The
+      // block-combination candidate generation is provably COMPLETE,
+      // so the DuckDB oracle brute-forces ALL O(n^2) pairs with
+      // bit_count(xor) and the engines must agree EXACTLY — the
+      // oracle checks candidate completeness, not plausibility.
+      // Signatures are closed-form from doc_id so both engines hold
+      // the same corpus: docs come in families of 4 over a shared
+      // base pattern; member m flips the first m of 3 nested bit
+      // positions, so intra-family pairs sit at distance |m_a - m_b|
+      // in {1,2,3} (chance cross-family coincidences are seen
+      // identically by both engines). Scale shape: map-only 20-key
+      // fan-out, ONE equi-join shuffle on a 38-bit compound key
+      // (bucket ~hundreds of rows at 10^12 docs), codegen
+      // bit_count(xor) verification — ids and sigs move, payloads
+      // never do.
+      val sigs = t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"))
+        .withColumn("fam", expr("doc_id div 4"))
+        .withColumn("mem", expr("doc_id % 4"))
+        .withColumn("sig", expr(
+          """(fam * 1103515245 + 12345) % 1099511627776
+            | ^ (CASE WHEN mem >= 1 THEN shiftleft(CAST(1 AS BIGINT), CAST(fam % 13 AS INT)) ELSE CAST(0 AS BIGINT) END)
+            | ^ (CASE WHEN mem >= 2 THEN shiftleft(CAST(1 AS BIGINT), CAST(13 + fam % 13 AS INT)) ELSE CAST(0 AS BIGINT) END)
+            | ^ (CASE WHEN mem >= 3 THEN shiftleft(CAST(1 AS BIGINT), CAST(26 + fam % 13 AS INT)) ELSE CAST(0 AS BIGINT) END)""".stripMargin))
+        .select("doc_id", "sig")
+      graft.functions.HammingNearDup.pairs(sigs, "doc_id", "sig", 3)
+        .groupBy(col("dist").cast("long").as("dist"))
+        .agg(count(lit(1)).as("n_pairs"),
+          min(col("a_id")).as("min_a"),
+          max(col("b_id")).as("max_b"),
+          sum(col("a_id") + col("b_id")).as("pair_checksum"))
+        .orderBy("dist")
+    }),
+
+    "q65_histogram_quantiles" -> ((s, dir) => {
+      // Fixed-memory per-host length-quantile SKETCH — q46's 100 TB
+      // form. q46 is exact but row_number-windows over every doc of a
+      // host, so one giant host = one giant sorted task input. Here
+      // each doc maps to its power-of-two bin (bin index = length of
+      // the binary rendering of n_chars — integer-exact in both
+      // engines, no float-log2 ULP hazard at exact powers), the
+      // histogram is ONE partial-aggregating shuffle keyed
+      // (host, bin), and quantiles read off the <= 64-row per-host
+      // histogram: the cumulative window runs over BINS, not docs, so
+      // task input is bounded by 64 whatever the host's size. The
+      // price is bin-granular quantiles — the standard histogram-
+      // sketch tradeoff (memory O(bins), error one bin).
+      val hist = t(s, dir, "documents")
+        .select(col("source").as("host"), col("n_chars").cast("long").as("n_chars"))
+        .withColumn("bin", length(bin(col("n_chars"))).cast("long"))
+        .groupBy(col("host"), col("bin"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy("host").orderBy("bin")
+      hist
+        .withColumn("cum", sum(col("cnt")).over(w))
+        .withColumn("n", sum(col("cnt")).over(Window.partitionBy("host")))
+        .groupBy(col("host"))
+        .agg(max(col("n")).as("n_docs"),
+          count(lit(1)).as("n_bins"),
+          min(when(col("cum") * 2 >= col("n"), col("bin"))).as("p50_bin"),
+          min(when(col("cum") * 10 >= col("n") * 9, col("bin"))).as("p90_bin"),
+          max(col("bin")).as("max_bin"))
+        .orderBy("host")
+    }),
+
+    "q66_distinct_sketch" -> ((s, dir) => {
+      // Distinct-cardinality estimation by deterministic hash
+      // thresholding (Flajolet-style adaptive sampling, the KMV dual):
+      // a word enters the sample iff md5(word) < '04' — a fixed 1/64
+      // slice of hash space — and the estimate is 64 * |sampled
+      // distinct|. Deterministic (no RNG, unlike HLL++ with its
+      // engine-specific registers), mergeable (the sample is a set),
+      // and the distinct-shuffle carries only the 1/64 hash-sampled
+      // stream instead of every distinct word — the scale path when
+      // exact countDistinct's shuffle IS the bottleneck (vocabulary
+      // ~billions at 100 TB). The exact count rides along as the
+      // audit column (test-scale only); err_mills pins the
+      // estimator's accuracy in integer mills.
+      val sampled = countDistinct(when(col("h") < "04", col("w")))
+      t(s, dir, "documents")
+        .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "")
+        .withColumn("h", md5(col("w").cast("binary")))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_words"),
+          countDistinct(col("w")).as("n_exact"),
+          sampled.as("n_sampled"),
+          (sampled * 64).cast("long").as("est"))
+        .withColumn("err_mills",
+          expr("abs(est - n_exact) * 1000 div greatest(n_exact, 1)"))
+        .orderBy("lang")
+    }),
+
     // ---- extraction pipeline (rows-only: not SQL-expressible) ----
     "x01_extract_plain" -> ((s, _) => {
       val (pagesDir, _) = microTables(s)
@@ -3665,5 +3762,72 @@ object SparkEntry {
         |SELECT word, count(*) AS n_docs,
         |  CAST(max(n_tokens) AS BIGINT) AS n_tokens, min(seg) AS seg
         |FROM e GROUP BY word ORDER BY word""".stripMargin,
+    // q64: the oracle BRUTE-FORCES every O(n^2) pair — feasible only
+    // because the oracle runs at test SF — so equality proves the
+    // Spark side's block-combination candidate generation is COMPLETE
+    // (a missed candidate would drop a pair and change n_pairs /
+    // checksum). Signatures are the same closed-form arithmetic.
+    "q64_simhash_hamming" ->
+      """WITH d AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |    CAST(doc_id AS BIGINT) // 4 AS fam,
+        |    CAST(doc_id AS BIGINT) % 4 AS mem
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    xor(xor(xor((fam * 1103515245 + 12345) % 1099511627776,
+        |      CASE WHEN mem >= 1 THEN (CAST(1 AS BIGINT) << CAST(fam % 13 AS INT)) ELSE 0 END),
+        |      CASE WHEN mem >= 2 THEN (CAST(1 AS BIGINT) << CAST(13 + fam % 13 AS INT)) ELSE 0 END),
+        |      CASE WHEN mem >= 3 THEN (CAST(1 AS BIGINT) << CAST(26 + fam % 13 AS INT)) ELSE 0 END) AS sig
+        |  FROM d),
+        |p AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |    CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS dist
+        |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.sig, b.sig)) <= 3)
+        |SELECT dist, count(*) AS n_pairs,
+        |  CAST(min(a_id) AS BIGINT) AS min_a,
+        |  CAST(max(b_id) AS BIGINT) AS max_b,
+        |  CAST(sum(a_id + b_id) AS BIGINT) AS pair_checksum
+        |FROM p GROUP BY dist ORDER BY dist""".stripMargin,
+    // q65: bin index = length of the unpadded binary rendering —
+    // DuckDB's bin() is unpadded like Spark's, so the bin assignment
+    // is the same integer in both engines; quantile selection is the
+    // same integer ceil-rank compare.
+    "q65_histogram_quantiles" ->
+      """WITH d AS (
+        |  SELECT source AS host, CAST(n_chars AS BIGINT) AS n_chars,
+        |    CAST(length(bin(CAST(n_chars AS BIGINT))) AS BIGINT) AS bin
+        |  FROM documents),
+        |h AS (
+        |  SELECT host, bin, count(*) AS cnt FROM d GROUP BY host, bin),
+        |c AS (
+        |  SELECT host, bin, cnt,
+        |    SUM(cnt) OVER (PARTITION BY host ORDER BY bin
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    SUM(cnt) OVER (PARTITION BY host) AS n
+        |  FROM h)
+        |SELECT host, CAST(max(n) AS BIGINT) AS n_docs,
+        |  count(*) AS n_bins,
+        |  CAST(min(CASE WHEN cum * 2 >= n THEN bin END) AS BIGINT) AS p50_bin,
+        |  CAST(min(CASE WHEN cum * 10 >= n * 9 THEN bin END) AS BIGINT) AS p90_bin,
+        |  CAST(max(bin) AS BIGINT) AS max_bin
+        |FROM c GROUP BY host ORDER BY host""".stripMargin,
+    // q66: both engines hash the same UTF-8 word bytes to the same
+    // lowercase hex, and '04' is the same 1/64 threshold under the
+    // same byte-wise string order.
+    "q66_distinct_sketch" ->
+      """WITH w AS (
+        |  SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents),
+        |f AS (
+        |  SELECT lang, w, md5(w) AS h FROM w WHERE w <> '')
+        |SELECT lang, count(*) AS n_words,
+        |  CAST(count(DISTINCT w) AS BIGINT) AS n_exact,
+        |  CAST(count(DISTINCT CASE WHEN h < '04' THEN w END) AS BIGINT) AS n_sampled,
+        |  CAST(count(DISTINCT CASE WHEN h < '04' THEN w END) * 64 AS BIGINT) AS est,
+        |  CAST(abs(count(DISTINCT CASE WHEN h < '04' THEN w END) * 64
+        |      - count(DISTINCT w)) * 1000
+        |    // greatest(count(DISTINCT w), 1) AS BIGINT) AS err_mills
+        |FROM f GROUP BY lang ORDER BY lang""".stripMargin,
   )
 }

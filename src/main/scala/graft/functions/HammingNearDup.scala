@@ -1,0 +1,108 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Exact Hamming-distance near-dup pair generation over 64-bit
+  * signatures (SimHash fingerprints) — the multi-block pigeonhole
+  * scheme of Manku/Jain/Sarma, "Detecting Near-Duplicates for Web
+  * Crawling" (WWW 2007): to find every pair within Hamming distance
+  * `maxDist`, split the 64 bits into `B = maxDist + 3` blocks; a pair
+  * differing in at most `maxDist` bit positions touches at most
+  * `maxDist` blocks, so at least 3 blocks are bit-identical — and some
+  * 3-subset of blocks matches exactly. Emitting one join key per
+  * 3-block combination (C(B,3) keys/row) and equi-joining on the key
+  * therefore generates a candidate superset that is provably COMPLETE;
+  * an exact `bit_count(a^b)` filter then keeps true pairs only.
+  *
+  * Reference anchor: the reference dedups its eval corpus by exact
+  * image-name identity (GOT-OCR-2.0-master/GOT/eval/eval_GOT_ocr.py
+  * :168-186 keys records by `image`); this is that contract lifted to
+  * web-scale near-identity, per SURVEY §2.11.
+  *
+  * Scale shape (the 100 TB story):
+  *  - map-only key fan-out (C(B,3) longs per doc — 20 at maxDist=3);
+  *  - ONE shuffle, keyed by a >=32-bit compound block key, so at 10^12
+  *    docs the expected bucket holds ~hundreds of rows and the
+  *    within-bucket pairing stays tiny (the 16-bit single-block scheme
+  *    would put ~15M docs in a bucket — that is exactly why Manku uses
+  *    block COMBINATIONS, trading key fan-out for bucket size);
+  *  - pair verification is a codegen `bit_count(xor)` — no payloads
+  *    move, only (id, sig);
+  *  - degenerate hubs (thousands of docs with the SAME signature) are
+  *    exact dups, collapsed upstream by q09/x08 exact-hash dedup before
+  *    near-dup runs — same discipline as TextSketch.lshCandidatePairs.
+  */
+object HammingNearDup extends Serializable {
+
+  /** Block bit-offsets for B=6 blocks over 64 bits: widths
+    * 11,11,11,11,10,10. Uneven widths are fine — pigeonhole only needs
+    * the blocks to partition the 64 bits. */
+  private val Offsets = Array(0, 11, 22, 33, 44, 54)
+  private val Widths = Array(11, 11, 11, 11, 10, 10)
+  private val B = 6
+
+  /** All C(6,3)=20 three-block combinations, enumerated once. */
+  private val Combos: Array[Array[Int]] = (for {
+    i <- 0 until B; j <- (i + 1) until B; k <- (j + 1) until B
+  } yield Array(i, j, k)).toArray
+
+  @inline private def blockOf(sig: Long, b: Int): Long =
+    (sig >>> Offsets(b)) & ((1L << Widths(b)) - 1L)
+
+  /** Packed join keys for one signature: comboId(5 bits) | b1(11) |
+    * b2(11) | b3(11) — 38 bits of key, always non-negative. */
+  def candidateKeys(sig: Long): Array[Long] = {
+    val out = new Array[Long](Combos.length)
+    var c = 0
+    while (c < Combos.length) {
+      val co = Combos(c)
+      out(c) = (c.toLong << 33) |
+        (blockOf(sig, co(0)) << 22) |
+        (blockOf(sig, co(1)) << 11) |
+        blockOf(sig, co(2))
+      c += 1
+    }
+    out
+  }
+
+  /** Every unordered pair (a_id < b_id) with hamming(a_sig, b_sig) <=
+    * maxDist (<= 3 — the block layout fixes the guarantee at 3).
+    * Input: any DataFrame with a long id column and a long signature
+    * column. Output columns: a_id, b_id, a_sig, b_sig, dist. */
+  def pairs(df: DataFrame, idCol: String, sigCol: String,
+            maxDist: Int = 3): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 3,
+      s"block layout guarantees completeness only to distance 3; got $maxDist")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val keyed = df.select(col(idCol).cast("long"), col(sigCol).cast("long"))
+      .as[(Long, Long)]
+      .flatMap { case (id, sig) =>
+        candidateKeys(sig).iterator.map(k => (k, id, sig))
+      }
+      .toDF("key", "id", "sig")
+    val a = keyed.select(col("key"), col("id").as("a_id"), col("sig").as("a_sig"))
+    val b = keyed.select(col("key"), col("id").as("b_id"), col("sig").as("b_sig"))
+    a.join(b, Seq("key"))
+      .filter(col("a_id") < col("b_id"))
+      // a pair can collide on several combos — distinct is exact
+      // because (id -> sig) is functional in the keyed fan-out
+      .select(col("a_id"), col("b_id"), col("a_sig"), col("b_sig"))
+      .distinct()
+      .withColumn("dist", bit_count(col("a_sig").bitwiseXOR(col("b_sig"))))
+      .filter(col("dist") <= maxDist)
+  }
+
+  /** Convenience: SimHash the text column, then pair. */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxDist: Int = 3): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sigs = df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .map { case (id, text) => (id, TextSketch.simhash64(text)) }
+      .toDF(idCol, "simhash")
+    pairs(sigs, idCol, "simhash", maxDist)
+  }
+}
