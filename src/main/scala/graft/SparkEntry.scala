@@ -2008,6 +2008,86 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    "q67_countmin_sketch" -> ((s, dir) => {
+      // Count-Min frequency sketch (functions/CountMin) — hot-key /
+      // heavy-hitter detection in fixed memory: counters total d*w
+      // longs whatever the input size, built by ONE map-side-combining
+      // aggregate; estimates broadcast-join the tiny counter table.
+      // The item stream is skew-planted closed-form (even doc_ids
+      // collapse onto 4 heavy items, odd ids spread over 97 light
+      // ones) so both engines hold the same stream, and the oracle
+      // recomputes the ENTIRE sketch in SQL — same universal-family
+      // hashes, same counters, same min — plus the exact counts, so
+      // the `over` column also pins the never-undercount property
+      // per item.
+      val items = t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"))
+        .withColumn("item", expr(
+          "CASE WHEN doc_id % 2 = 0 THEN (doc_id div 2) % 4 ELSE doc_id % 97 END"))
+        .select("item")
+      val counters = graft.functions.CountMin.buildCounters(items, 3, 32)
+      val est = graft.functions.CountMin.estimate(items.distinct(), counters, 3, 32)
+      val exact = items.groupBy("item").agg(count(lit(1)).as("exact"))
+      est.join(exact, Seq("item"))
+        .withColumn("over", col("est") - col("exact"))
+        .orderBy("item")
+    }),
+
+    "q68_asof_join" -> ((s, dir) => {
+      // As-of join (functions/AsofJoin): each event resolves to the
+      // most recent revision in force at its timestamp — the
+      // point-in-time lookup Spark has no native operator for. The
+      // revision table derives from the events table itself (every
+      // 5th event id marks a revision for its user, deduped to one
+      // per (user, ts) by max id — the operator's uniqueness
+      // contract), so both engines hold identical sides; DuckDB
+      // verifies with its NATIVE ASOF LEFT JOIN — an independent
+      // implementation of the same semantics, including the
+      // revision-at-exactly-event-time tie (<=, not <). Gap millis
+      // use the q39 unix_millis/epoch_ms idiom.
+      val ev = t(s, dir, "events")
+        .select(col("event_id").cast("long").as("event_id"),
+          col("user_id").cast("long").as("user_id"),
+          col("ts").cast("timestamp").as("ts"), col("event_type"))
+      val revs = ev.filter(col("event_id") % 5 === 0)
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("rev"))
+      graft.functions.AsofJoin.asofJoin(ev, revs, "user_id", "ts")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("asof").isNotNull, 1L).otherwise(0L)).as("n_matched"),
+          sum(coalesce(col("asof.rev"), lit(0L))).as("rev_checksum"),
+          coalesce(max(unix_millis(col("ts")) - unix_millis(col("asof_ts"))),
+            lit(-1L)).as("max_gap_ms"))
+        .orderBy("event_type")
+    }),
+
+    "q69_range_join" -> ((s, dir) => {
+      // Range (interval-containment) join (functions/RangeJoin):
+      // docs bucket into quadratic-width size classes [25r^2,
+      // 25(r+1)^2) — variable-width intervals, so the bucket-expansion
+      // equi-join earns its keep (a fixed-width class map would be a
+      // plain div). Catalyst's native plan for the lo<=x<hi predicate
+      // is a nested-loop join; the operator turns it into one
+      // equi-join shuffle on a coarse bucket id + exact residual
+      // filter. The oracle IS the naive containment join — DuckDB
+      // evaluates the predicate directly, so equality proves the
+      // bucket expansion neither drops nor duplicates matches.
+      val ranges = s.range(0, 40).toDF("r")
+        .withColumn("lo", expr("r * r * 25"))
+        .withColumn("hi", expr("(r + 1) * (r + 1) * 25"))
+      val probe = t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"),
+          col("n_chars").cast("long").as("n_chars"))
+      graft.functions.RangeJoin.rangeJoin(probe, "n_chars", ranges, 64L)
+        .groupBy(col("r"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"),
+          sum(col("doc_id")).as("doc_checksum"))
+        .orderBy("r")
+    }),
+
     // ---- extraction pipeline (rows-only: not SQL-expressible) ----
     "x01_extract_plain" -> ((s, _) => {
       val (pagesDir, _) = microTables(s)
@@ -3829,5 +3909,74 @@ object SparkEntry {
         |      - count(DISTINCT w)) * 1000
         |    // greatest(count(DISTINCT w), 1) AS BIGINT) AS err_mills
         |FROM f GROUP BY lang ORDER BY lang""".stripMargin,
+    // q67: the oracle recomputes the whole Count-Min sketch in SQL —
+    // identical universal hashes ((a*item+b) % 8191 % 32), identical
+    // counters, identical min-estimate — plus exact counts, so `over`
+    // pins never-undercount per item.
+    "q67_countmin_sketch" ->
+      """WITH i AS (
+        |  SELECT CASE WHEN doc_id % 2 = 0
+        |    THEN (CAST(doc_id AS BIGINT) // 2) % 4
+        |    ELSE CAST(doc_id AS BIGINT) % 97 END AS item
+        |  FROM documents),
+        |rr AS (SELECT * FROM (VALUES (0), (1), (2)) t(r)),
+        |hb AS (
+        |  SELECT r, item,
+        |    CASE r WHEN 0 THEN ((31 * item + 11) % 8191) % 32
+        |           WHEN 1 THEN ((57 * item + 3) % 8191) % 32
+        |           ELSE ((97 * item + 73) % 8191) % 32 END AS bucket
+        |  FROM i CROSS JOIN rr),
+        |counters AS (SELECT r, bucket, count(*) AS cnt FROM hb GROUP BY r, bucket),
+        |q AS (SELECT DISTINCT item FROM i),
+        |qb AS (
+        |  SELECT r, item,
+        |    CASE r WHEN 0 THEN ((31 * item + 11) % 8191) % 32
+        |           WHEN 1 THEN ((57 * item + 3) % 8191) % 32
+        |           ELSE ((97 * item + 73) % 8191) % 32 END AS bucket
+        |  FROM q CROSS JOIN rr),
+        |est AS (
+        |  SELECT item, min(cnt) AS est
+        |  FROM qb JOIN counters USING (r, bucket) GROUP BY item),
+        |ex AS (SELECT item, count(*) AS exact FROM i GROUP BY item)
+        |SELECT e.item, CAST(e.est AS BIGINT) AS est,
+        |  CAST(x.exact AS BIGINT) AS exact,
+        |  CAST(e.est - x.exact AS BIGINT) AS over
+        |FROM est e JOIN ex x USING (item) ORDER BY e.item""".stripMargin,
+    // q68: DuckDB's native ASOF LEFT JOIN is an independent
+    // implementation of the most-recent-revision-<=-ts semantics —
+    // agreement checks our window formulation against a second engine's
+    // operator, not against our own algebra restated.
+    "q68_asof_join" ->
+      """WITH ev AS (
+        |  SELECT CAST(event_id AS BIGINT) AS event_id,
+        |    CAST(user_id AS BIGINT) AS user_id, ts, event_type
+        |  FROM events),
+        |r AS (
+        |  SELECT user_id, ts, CAST(max(event_id) AS BIGINT) AS rev
+        |  FROM ev WHERE event_id % 5 = 0 GROUP BY user_id, ts)
+        |SELECT e.event_type, count(*) AS n_events,
+        |  CAST(sum(CASE WHEN r.rev IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+        |  CAST(sum(coalesce(r.rev, 0)) AS BIGINT) AS rev_checksum,
+        |  CAST(coalesce(max(epoch_ms(e.ts) - epoch_ms(r.ts)), -1) AS BIGINT) AS max_gap_ms
+        |FROM ev e ASOF LEFT JOIN r ON e.user_id = r.user_id AND e.ts >= r.ts
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
+    // q69: the oracle evaluates the containment predicate DIRECTLY
+    // (the naive theta join) — equality proves the bucket-expansion
+    // equi-join neither drops nor duplicates matches.
+    "q69_range_join" ->
+      """WITH ranges AS (
+        |  SELECT CAST(r AS BIGINT) AS r, CAST(r * r * 25 AS BIGINT) AS lo,
+        |    CAST((r + 1) * (r + 1) * 25 AS BIGINT) AS hi
+        |  FROM generate_series(0, 39) t(r)),
+        |d AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |    CAST(n_chars AS BIGINT) AS n_chars
+        |  FROM documents)
+        |SELECT g.r, count(*) AS n_docs,
+        |  CAST(min(d.n_chars) AS BIGINT) AS min_chars,
+        |  CAST(max(d.n_chars) AS BIGINT) AS max_chars,
+        |  CAST(sum(d.doc_id) AS BIGINT) AS doc_checksum
+        |FROM d JOIN ranges g ON d.n_chars >= g.lo AND d.n_chars < g.hi
+        |GROUP BY g.r ORDER BY g.r""".stripMargin,
   )
 }
