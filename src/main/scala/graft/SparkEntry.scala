@@ -2088,6 +2088,43 @@ object SparkEntry {
         .orderBy("r")
     }),
 
+    "q70_range_shards" -> ((s, dir) => {
+      // Deterministic range partitioning for total-order corpus
+      // emission (curriculum ordering, sorted-run output): Spark's
+      // repartitionByRange draws SAMPLED boundaries — two runs of the
+      // same job can split differently, which breaks byte-reproducible
+      // output contracts. Here boundaries derive from the q65
+      // histogram: 8 shards split at the bins where cumulative count
+      // crosses s/8 of the corpus — content-deterministic, integer-
+      // exact, reproducible cross-engine. Scale shape: the histogram
+      // is one tiny agg (<= 64 bins), boundaries are 7 rows broadcast
+      // back, shard assignment is map-only — no doc-level window, no
+      // sample pass. Shard sizes are bin-granular (the histogram-
+      // sketch tradeoff, same as q65).
+      val d = t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"),
+          col("n_chars").cast("long").as("n_chars"))
+        .withColumn("bin", length(bin(col("n_chars"))).cast("long"))
+      val hist = d.groupBy(col("bin")).agg(count(lit(1)).as("cnt"))
+      val cum = hist
+        .withColumn("cum", sum(col("cnt")).over(Window.orderBy("bin")))
+        .withColumn("n", sum(col("cnt")).over(
+          Window.partitionBy(lit(1))))
+      val svals = s.range(1, 8).toDF("s")
+      val bounds = cum.crossJoin(svals)
+        .filter(col("cum") * 8 >= col("s") * col("n"))
+        .groupBy(col("s")).agg(min(col("bin")).as("b"))
+      d.crossJoin(broadcast(bounds))
+        .groupBy(col("doc_id"), col("bin"))
+        .agg(sum(when(col("b") < col("bin"), 1L).otherwise(0L)).as("shard"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("bin")).as("min_bin"),
+          max(col("bin")).as("max_bin"),
+          sum(col("doc_id")).as("doc_checksum"))
+        .orderBy("shard")
+    }),
+
     // ---- extraction pipeline (rows-only: not SQL-expressible) ----
     "x01_extract_plain" -> ((s, _) => {
       val (pagesDir, _) = microTables(s)
@@ -2284,6 +2321,35 @@ object SparkEntry {
         (2L, "merge", 1), (2L, "key", 2), (3L, "vector", 1), (3L, "batch", 2))
         .toDF("query_id", "term", "tidx")
       graft.functions.PostingsIndex.query(s, idx, queryTerms)
+    }),
+    "x33_dedup_delta" -> ((s, dir) => {
+      // the production dedup LOOP: near-dup the crawl DELTA against a
+      // persisted band-signature index (functions/DedupIndex) without
+      // recomputing old-vs-old — probe reads are kb-partition-pruned
+      // and (band,key)-semi-joined to buckets the delta actually
+      // touches. DedupIndexSpec pins probeDelta == the full-corpus
+      // x08 pairs touching the delta (incl. cross-boundary exact dups
+      // and the hub-star degrade); here the split is 80/20 on doc_id
+      // with planted cross-boundary duplicates so the probe is
+      // non-vacuous on the driver corpus.
+      val all = t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      val cut = all.agg(expr("percentile_approx(doc_id, 0.8)")).head().getLong(0)
+      val old = all.filter(col("doc_id") <= cut)
+      // delta: genuinely new docs + exact re-crawls + near-dup edits of
+      // old content (ids offset past the corpus — monotone ingest)
+      val base = all.agg(max(col("doc_id"))).head().getLong(0) + 1L
+      val delta = all.filter(col("doc_id") > cut)
+        .select((col("doc_id") + lit(base)).as("doc_id"), col("text"))
+        .unionByName(old.filter(col("doc_id") % 17 === 0)
+          .select((col("doc_id") + lit(2 * base)).as("doc_id"), col("text")))
+        .unionByName(old.filter(col("doc_id") % 23 === 0)
+          .select((col("doc_id") + lit(3 * base)).as("doc_id"),
+            concat(col("text"), lit(" minor edit")).as("text")))
+      val idx = s"$SynthRoot/dedup_delta_${math.abs(dir.hashCode)}"
+      graft.functions.DedupIndex.build(old, idx)
+      graft.functions.DedupIndex.probeDelta(s, idx, delta)
+        .orderBy("doc_a", "doc_b")
     }),
     "x22_outlinks" -> ((s, _) => {
       // host link-graph construction: map-side link extraction (streaming
@@ -3978,5 +4044,32 @@ object SparkEntry {
         |  CAST(sum(d.doc_id) AS BIGINT) AS doc_checksum
         |FROM d JOIN ranges g ON d.n_chars >= g.lo AND d.n_chars < g.hi
         |GROUP BY g.r ORDER BY g.r""".stripMargin,
+    // q70: same histogram, same integer boundary rule (min bin where
+    // cum*8 >= s*n), same strictly-below shard count.
+    "q70_range_shards" ->
+      """WITH d AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |    CAST(length(bin(CAST(n_chars AS BIGINT))) AS BIGINT) AS bin
+        |  FROM documents),
+        |h AS (SELECT bin, count(*) AS cnt FROM d GROUP BY bin),
+        |c AS (
+        |  SELECT bin, cnt,
+        |    SUM(cnt) OVER (ORDER BY bin
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    SUM(cnt) OVER () AS n
+        |  FROM h),
+        |bounds AS (
+        |  SELECT s, min(bin) AS b
+        |  FROM c CROSS JOIN generate_series(1, 7) t(s)
+        |  WHERE cum * 8 >= s * n GROUP BY s),
+        |sh AS (
+        |  SELECT d.doc_id, d.bin,
+        |    CAST(sum(CASE WHEN bounds.b < d.bin THEN 1 ELSE 0 END) AS BIGINT) AS shard
+        |  FROM d CROSS JOIN bounds GROUP BY d.doc_id, d.bin)
+        |SELECT shard, count(*) AS n_docs,
+        |  CAST(min(bin) AS BIGINT) AS min_bin,
+        |  CAST(max(bin) AS BIGINT) AS max_bin,
+        |  CAST(sum(doc_id) AS BIGINT) AS doc_checksum
+        |FROM sh GROUP BY shard ORDER BY shard""".stripMargin,
   )
 }

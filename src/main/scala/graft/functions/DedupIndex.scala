@@ -1,0 +1,232 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Persisted near-dup index with DELTA probing — the production dedup
+  * loop at crawl scale: the corpus's MinHash band signatures are built
+  * ONCE and persisted; each incoming crawl delta probes new-vs-old and
+  * new-vs-new WITHOUT ever recomputing old-vs-old (at 10^12 docs the
+  * full-corpus x08 pass costs what it costs — paying it per ingest
+  * batch is the thing this index exists to avoid). Follows the
+  * IvfIndex/PostingsIndex persisted-operator discipline: partitioned
+  * parquet + XOR-maintained staleness MANIFEST + append that equals
+  * rebuild.
+  *
+  * Layout under `dir`:
+  *   hashes/hb=<0..255>/   (h STRING md5, rep_id LONG)  — one row per
+  *                         distinct content hash; rep = min doc_id
+  *   bands/kb=<0..255>/    (band INT, key LONG, doc_id LONG,
+  *                         sig ARRAY<LONG>) — band rows of exact-dup
+  *                         REPRESENTATIVES only (exact members never
+  *                         band — same as lshCandidatePairs)
+  *   MANIFEST              rows + bit_xor(xxhash64(doc_id, text)) +
+  *                         build params
+  *
+  * Probe reads are PRUNED twice: partition elimination on hb/kb (a
+  * small delta touches few of the 256 buckets) and an equi-semi-join
+  * on the delta's exact (band, key) set — buckets holding no new row
+  * can produce no new-touching pair, so they are never paired.
+  *
+  * Equivalence contract (pinned by DedupIndexSpec): with doc_ids
+  * MONOTONE across ingests (old < new — true of crawl ingestion
+  * sequence numbers), probeDelta(new) emits exactly the pairs of
+  * `TextSketch.lshCandidatePairs(old ∪ new)` in which at least one
+  * side is new — including the hub-star degrade of oversized buckets,
+  * replicated here over the identical bucket contents.
+  */
+object DedupIndex extends Serializable {
+
+  private def withRep(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      .withColumn("h", md5(col("text").cast("binary")))
+      .withColumn("rep_id", min(col("doc_id")).over(Window.partitionBy("h")))
+
+  private def bandRows(uniqueDocs: DataFrame): DataFrame = {
+    val spark = uniqueDocs.sparkSession
+    import spark.implicits._
+    uniqueDocs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val sig = TextSketch.minhashSignature(text)
+        TextSketch.bandKeys(sig).zipWithIndex.map { case (k, b) =>
+          (b, k, id, sig)
+        }
+      }
+      .toDF("band", "key", "doc_id", "sig")
+      .withColumn("kb", pmod(col("key"), lit(256)).cast("int"))
+  }
+
+  private def fingerprint(docs: DataFrame): (Long, Long) = {
+    val r = docs.select(xxhash64(col("doc_id"), col("text")).as("x"))
+      .agg(count(lit(1)).as("n"), expr("bit_xor(x)").as("fp")).head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  private def manifestPath(dir: String) =
+    java.nio.file.Paths.get(s"$dir/MANIFEST")
+
+  private def writeManifest(dir: String, rows: Long, fp: Long): Unit =
+    java.nio.file.Files.writeString(manifestPath(dir),
+      s"""{"rows":$rows,"fingerprint":$fp,"bands":${TextSketch.Bands},"minhashK":${TextSketch.MinHashK}}""")
+
+  private def readManifest(dir: String): (Long, Long) = {
+    val txt = java.nio.file.Files.readString(manifestPath(dir))
+    val rows = "\"rows\":(-?\\d+)".r.findFirstMatchIn(txt).get.group(1).toLong
+    val fp = "\"fingerprint\":(-?\\d+)".r.findFirstMatchIn(txt).get.group(1).toLong
+    (rows, fp)
+  }
+
+  /** True iff the index at `dir` was built from exactly this corpus
+    * (same rows, same order-independent content fingerprint). */
+  def isCurrent(dir: String, docs: DataFrame): Boolean =
+    java.nio.file.Files.exists(manifestPath(dir)) && {
+      val (rows, fp) = fingerprint(
+        docs.select(col("doc_id").cast("long").as("doc_id"), col("text")))
+      readManifest(dir) == ((rows, fp))
+    }
+
+  /** Build the index from the full corpus (doc_id, text). */
+  def build(docs: DataFrame, dir: String): Unit = {
+    val reps = withRep(docs)
+    reps.groupBy(col("h")).agg(min(col("doc_id")).as("rep_id"))
+      .withColumn("hb", conv(substring(col("h"), 1, 2), 16, 10).cast("int"))
+      .write.mode("overwrite").partitionBy("hb").parquet(s"$dir/hashes")
+    bandRows(reps.filter(col("doc_id") === col("rep_id"))
+        .select(col("doc_id"), col("text")))
+      .write.mode("overwrite").partitionBy("kb").parquet(s"$dir/bands")
+    val (n, fp) = fingerprint(reps)
+    writeManifest(dir, n, fp)
+  }
+
+  /** Ingest a delta into the index so the NEXT probe sees it: new
+    * content hashes gain (h, rep) rows and band their new rep; content
+    * already indexed adds nothing (its rep already bands — exactly the
+    * rows a fresh build over old ∪ delta would hold). Manifest updates
+    * by delta-XOR, so `isCurrent(old ∪ delta)` holds afterwards. */
+  def append(spark: SparkSession, dir: String, newDocs: DataFrame): Unit = {
+    val reps = withRep(newDocs)
+    val oldHashes = spark.read.parquet(s"$dir/hashes")
+    val fresh = reps.filter(col("doc_id") === col("rep_id"))
+      .join(oldHashes.select(col("h")), Seq("h"), "left_anti")
+    fresh.select(col("h"), col("doc_id").as("rep_id"))
+      .withColumn("hb", conv(substring(col("h"), 1, 2), 16, 10).cast("int"))
+      .write.mode("append").partitionBy("hb").parquet(s"$dir/hashes")
+    bandRows(fresh.select(col("doc_id"), col("text")))
+      .write.mode("append").partitionBy("kb").parquet(s"$dir/bands")
+    val (oldN, oldFp) = readManifest(dir)
+    val (dn, dfp) = fingerprint(reps)
+    writeManifest(dir, oldN + dn, oldFp ^ dfp)
+  }
+
+  /** All near-dup pairs of (indexed corpus ∪ newDocs) touching at
+    * least one new doc: (doc_a, doc_b, jaccard_x100), doc_a < doc_b
+    * except exact-pair rep order (rep first — lshCandidatePairs
+    * layout). Old-vs-old work: none. */
+  def probeDelta(spark: SparkSession, dir: String, newDocs: DataFrame,
+                 minJaccardX100: Int = 50, maxBucket: Int = 1024): DataFrame = {
+    import spark.implicits._
+    val reps = withRep(newDocs)
+
+    // -- exact dups vs the indexed corpus: hb-pruned equi-join
+    val newHashes = reps.select(col("doc_id"), col("h"))
+      .withColumn("hb", conv(substring(col("h"), 1, 2), 16, 10).cast("int"))
+    val hbs = newHashes.select("hb").distinct().as[Int].collect() // <= 256
+    val oldHashes = spark.read.parquet(s"$dir/hashes")
+      .filter(col("hb").isin(hbs.map(Integer.valueOf): _*))
+    val vsOldExact = newHashes.join(oldHashes, Seq("h", "hb"))
+      .select(col("rep_id").as("doc_a"), col("doc_id").as("doc_b"),
+        lit(1.0).as("est_jaccard"))
+
+    // -- within-delta exact dups (content NOT in the index): rep star
+    val unseen = reps.join(oldHashes.select("h"), Seq("h"), "left_anti")
+    val withinExact = unseen.filter(col("doc_id") =!= col("rep_id"))
+      .select(col("rep_id").as("doc_a"), col("doc_id").as("doc_b"),
+        lit(1.0).as("est_jaccard"))
+
+    // -- LSH: band the unseen reps, pull ONLY the old bucket rows that
+    // share a (band, key) with the delta (kb partition pruning + exact
+    // semi-join), pair within buckets with the hub-star degrade
+    val newBanded = bandRows(
+        unseen.filter(col("doc_id") === col("rep_id"))
+          .select(col("doc_id"), col("text")))
+      .withColumn("is_new", lit(true))
+    val kbs = newBanded.select("kb").distinct().as[Int].collect() // <= 256
+    val deltaKeys = newBanded.select("band", "key").distinct()
+    val oldBanded = spark.read.parquet(s"$dir/bands")
+      .filter(col("kb").isin(kbs.map(Integer.valueOf): _*))
+      .join(deltaKeys.hint("broadcast"), Seq("band", "key"), "left_semi")
+      .withColumn("is_new", lit(false))
+    val bucketPairs = newBanded.unionByName(oldBanded)
+      .select(col("band"), col("key"), col("doc_id"), col("sig"), col("is_new"))
+      .repartition(col("band"), col("key"))
+      .sortWithinPartitions("band", "key", "doc_id")
+      .as[(Int, Long, Long, Array[Long], Boolean)]
+      .mapPartitions { it =>
+        // streaming bucket pairing, O(maxBucket) task state — the
+        // lshCandidatePairs iterator with an is-new filter: buckets
+        // arrive adjacent and id-ascending (local sort above), so the
+        // first row IS the bucket's global-min hub on overflow
+        new Iterator[(Long, Long, Double)] {
+          private val buf =
+            scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Long], Boolean)]
+          private var curBand = -1
+          private var curKey = 0L
+          private var overflow = false
+          private var hub: (Long, Array[Long], Boolean) = null
+          private var pending: Iterator[(Long, Long, Double)] = Iterator.empty
+          private def star(hb: (Long, Array[Long], Boolean),
+              m: (Long, Array[Long], Boolean)) =
+            (hb._1, m._1, TextSketch.estJaccard(hb._2, m._2))
+          private def allPairs(ds: Array[(Long, Array[Long], Boolean)]) =
+            for {
+              i <- ds.indices.iterator
+              j <- (i + 1) until ds.length
+              if ds(i)._1 != ds(j)._1
+              if ds(i)._3 || ds(j)._3 // at least one new side
+            } yield (ds(i)._1, ds(j)._1, TextSketch.estJaccard(ds(i)._2, ds(j)._2))
+          private def closeBucket(): Iterator[(Long, Long, Double)] =
+            if (overflow || buf.isEmpty) Iterator.empty
+            else { val out = allPairs(buf.toArray); buf.clear(); out }
+          private def advance(): Unit = while (!pending.hasNext && it.hasNext) {
+            val (band, key, id, sig, isNew) = it.next()
+            if (band != curBand || key != curKey) {
+              pending = closeBucket()
+              curBand = band; curKey = key; overflow = false
+              buf.clear(); buf += ((id, sig, isNew)); hub = (id, sig, isNew)
+            } else if (overflow) {
+              if (id != hub._1 && (isNew || hub._3))
+                pending = Iterator(star(hub, (id, sig, isNew)))
+            } else {
+              buf += ((id, sig, isNew))
+              if (buf.length > maxBucket) {
+                overflow = true
+                val members = buf.toArray
+                buf.clear()
+                pending = members.iterator.drop(1)
+                  .filter(m => m._1 != hub._1 && (m._3 || hub._3))
+                  .map(m => star(hub, m))
+              }
+            }
+          }
+          def hasNext: Boolean = {
+            advance()
+            if (!pending.hasNext && !it.hasNext) { pending = closeBucket(); curBand = -1 }
+            pending.hasNext
+          }
+          def next(): (Long, Long, Double) = {
+            if (!hasNext) Iterator.empty.next(); pending.next()
+          }
+        }
+      }
+      .toDF("doc_a", "doc_b", "est_jaccard")
+
+    bucketPairs.unionByName(vsOldExact).unionByName(withinExact)
+      .filter(col("doc_a") =!= col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(max(col("est_jaccard")).as("est_jaccard"))
+      .filter(col("est_jaccard") * 100 >= minJaccardX100)
+      .select(col("doc_a"), col("doc_b"),
+        floor(col("est_jaccard") * 100).cast("long").as("jaccard_x100"))
+  }
+}
