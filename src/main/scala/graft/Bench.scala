@@ -54,7 +54,9 @@ object Bench {
     "q34_packing_sharded", "q35_rare_term_idf", "x26_ann_pq",
     "q37_window_dedup", "q38_nfc_normalize",
     "q41_boilerplate_lines", "q44_bm25_topk", "q47_paragraph_dedup",
-    "q49_lm_bucket")
+    "q49_lm_bucket",
+    // round 4 operator families
+    "q64_simhash_hamming", "q67_countmin_sketch", "q68_asof_join")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -2484,6 +2484,36 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), sum(length(col("text"))).as("out_chars"))
         .orderBy("status")
     }),
+    "x34_stream_stream_join" -> ((s, _) => {
+      // stream-stream event-time interval join (fetches x change
+      // signals per host), both sides watermarked so join state is
+      // BOUNDED by the interval — the crawl-ops "which fetches ran
+      // right after a config change" audit as continuous ingest.
+      // StreamJoinSpec pins streaming == batch-join equality incl.
+      // cross-micro-batch matches; here the micro corpus drains under
+      // availableNow and the joined rows aggregate per host.
+      val (pagesDir, _) = microTables(s)
+      val run = s"$SynthRoot/ssj_${java.util.UUID.randomUUID().toString.take(8)}"
+      val (f, c) = graft.streaming.StreamingExtract.fetchAndChangeStreams(
+        s, s"$pagesDir/data/*.parquet")
+      val joined = graft.streaming.StreamingExtract.fetchesNearChanges(
+        f, c, horizonMinutes = 7 * 24 * 60, watermark = "1 day")
+      val q = joined.writeStream.format("parquet")
+        .option("path", s"$run/out")
+        .option("checkpointLocation", s"$run/ckpt")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.schema("host STRING, fetch_ts TIMESTAMP, change_ts TIMESTAMP")
+        .parquet(s"$run/out")
+        .groupBy(col("host"))
+        .agg(count(lit(1)).as("n_joined"),
+          countDistinct(col("change_ts")).as("n_changes"),
+          max(unix_millis(col("fetch_ts")) - unix_millis(col("change_ts")))
+            .as("max_gap_ms"))
+        .orderBy("host")
+    }),
     "x20_crawl_sessions" -> ((s, _) => {
       // custom-state streaming (flatMapGroupsWithState + event-time
       // timeout): per-host crawl sessionization with a 7-day gap over the

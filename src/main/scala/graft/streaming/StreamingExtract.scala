@@ -307,4 +307,42 @@ object StreamingExtract {
       .agg(count(lit(1)).as("n_pages"),
         sum(length(col("html"))).as("bytes_in"))
   }
+
+  /** STREAM-STREAM event-time interval join — the last §2.9 surface:
+    * a stream of page fetches inner-joins a stream of per-host change
+    * signals (robots/config updates) when the fetch happened within
+    * `horizonMinutes` AFTER the change — "which fetches ran under a
+    * config that had just changed", the crawl-ops audit that needs
+    * BOTH sides live. Both inputs are watermarked and the join
+    * condition bounds event time on both ends, which is exactly what
+    * lets Spark EVICT buffered rows (a fetch older than
+    * change-watermark + horizon can never match a future change, and
+    * vice versa) — without the interval bound, stream-stream join
+    * state grows forever, the x25-NoTimeout hazard in join form.
+    * Inputs: fetches(host, fetch_ts), changes(host, change_ts).
+    * StreamJoinSpec pins result == the batch join of the same rows. */
+  def fetchesNearChanges(fetches: DataFrame, changes: DataFrame,
+      horizonMinutes: Int = 60,
+      watermark: String = "30 minutes"): DataFrame = {
+    val f = fetches.withWatermark("fetch_ts", watermark).alias("f")
+    val c = changes.withWatermark("change_ts", watermark).alias("c")
+    f.join(c, expr(
+      "f.host = c.host AND fetch_ts >= change_ts AND " +
+        s"fetch_ts <= change_ts + interval $horizonMinutes minutes"))
+      .select(col("f.host").as("host"), col("fetch_ts"), col("change_ts"))
+  }
+
+  /** The two sides of [[fetchesNearChanges]] from a pages glob: every
+    * page is a fetch; pages whose url hash lands in a 1/4 slice mark a
+    * change signal for their host at the same instant. */
+  def fetchAndChangeStreams(spark: SparkSession,
+      pagesGlob: String): (DataFrame, DataFrame) = {
+    def read() = spark.readStream.schema(pagesSchema).parquet(pagesGlob)
+      .select(parse_url(col("url"), lit("HOST")).as("host"),
+        col("warc_ts"), col("url"))
+    val fetches = read().select(col("host"), col("warc_ts").as("fetch_ts"))
+    val changes = read().filter(pmod(xxhash64(col("url")), lit(4)) === 0)
+      .select(col("host"), col("warc_ts").as("change_ts"))
+    (fetches, changes)
+  }
 }

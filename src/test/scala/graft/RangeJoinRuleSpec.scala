@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The RangeJoinRewrite optimizer rule contract: a `x >= lo AND x < hi`
+  * inner theta join — nested-loop in stock Spark — must come out as an
+  * equi-join with IDENTICAL results (overlaps, boundaries, nulls, empty
+  * intervals), fire in either join orientation, and NOT fire on shapes
+  * it cannot prove (inclusive upper bound). */
+class RangeJoinRuleSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("range-join-rule-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def withRule[T](f: => T): T = {
+    spark.experimental.extraOptimizations = Seq(graft.plans.RangeJoinRewrite)
+    try f finally { spark.experimental.extraOptimizations = Nil }
+  }
+
+  private lazy val probe: DataFrame = {
+    import spark.implicits._
+    val r = new graft.util.SplitMix64(21L)
+    // include negatives (truncating-div monotonicity) and a null x
+    val rows: Seq[(Long, java.lang.Long)] =
+      (0 until 400).map(i => (i.toLong, java.lang.Long.valueOf(r.nextInt(2000) - 500L))) :+
+        ((400L, null: java.lang.Long))
+    rows.toDF("id", "x").repartition(5)
+  }
+
+  private lazy val ranges: DataFrame = {
+    import spark.implicits._
+    val rows: Seq[(Long, java.lang.Long, java.lang.Long)] = Seq(
+      (0L, -500L, 0L), (1L, -64L, 65L), (2L, 0L, 1L), (3L, 100L, 100L),
+      (4L, 64L, 1500L), (5L, 1400L, 1500L), (6L, null, 10L), (7L, 5L, null))
+    rows.toDF("label", "lo", "hi")
+  }
+
+  private def results(df: DataFrame): Set[(Long, Long)] =
+    df.select("id", "label").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("rewrite preserves results and removes the nested-loop join") {
+    val q = probe.join(ranges,
+      probe("x") >= ranges("lo") && probe("x") < ranges("hi"))
+    val stockPlan = q.queryExecution.executedPlan.toString
+    assert(stockPlan.contains("NestedLoop"),
+      s"fixture must be nested-loop without the rule:\n$stockPlan")
+    val want = results(q)
+    assert(want.nonEmpty)
+    withRule {
+      val q2 = probe.join(ranges,
+        probe("x") >= ranges("lo") && probe("x") < ranges("hi"))
+      val plan = q2.queryExecution.executedPlan.toString
+      assert(!plan.contains("NestedLoop"), s"rule did not fire:\n$plan")
+      assert(results(q2) == want)
+    }
+  }
+
+  test("fires in the swapped orientation (ranges on the left)") {
+    val want = results(ranges.join(probe,
+      probe("x") >= ranges("lo") && probe("x") < ranges("hi")))
+    withRule {
+      val q2 = ranges.join(probe,
+        probe("x") >= ranges("lo") && probe("x") < ranges("hi"))
+      assert(!q2.queryExecution.executedPlan.toString.contains("NestedLoop"))
+      assert(results(q2) == want)
+    }
+  }
+
+  test("does not fire on an inclusive upper bound") {
+    withRule {
+      val q = probe.join(ranges,
+        probe("x") >= ranges("lo") && probe("x") <= ranges("hi"))
+      assert(q.queryExecution.executedPlan.toString.contains("NestedLoop"),
+        "rule must not rewrite a shape it cannot prove")
+    }
+  }
+
+  test("boundary semantics survive: lo inclusive, hi exclusive") {
+    withRule {
+      val got = results(probe.join(ranges,
+        probe("x") >= ranges("lo") && probe("x") < ranges("hi")))
+      val xs = probe.collect()
+        .map(r => (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Long])))
+      val rs = ranges.collect().map(r => (r.getLong(0),
+        Option(r.get(1)).map(_.asInstanceOf[Long]),
+        Option(r.get(2)).map(_.asInstanceOf[Long])))
+      val want = (for {
+        (id, Some(x)) <- xs
+        (label, Some(lo), Some(hi)) <- rs
+        if x >= lo && x < hi
+      } yield (id, label)).toSet
+      assert(got == want)
+    }
+  }
+}
