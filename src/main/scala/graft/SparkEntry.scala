@@ -2125,6 +2125,65 @@ object SparkEntry {
         .orderBy("shard")
     }),
 
+    "q71_weighted_sample" -> ((s, dir) => {
+      // Deterministic weighted sampling without replacement — priority
+      // (sequential Poisson) sampling, Ohlsson / Duffield-Lund-Thorup,
+      // with a fixed integer hash standing in for the RNG: priority =
+      // hash40(doc_id) / weight, keep the k SMALLEST per lang, so
+      // inclusion probability grows with weight and the sample is
+      // reproducible run-to-run and engine-to-engine (q30's unweighted
+      // stratified cousin). The one float op is a single division of
+      // exactly-represented integers — IEEE-identical cross-engine
+      // (the q35 discipline). Scale: bounded TopKAgg — k rows per
+      // (partition, lang) shuffle, map-side partial merge — never a
+      // per-lang row_number window (the q32 bounded-key hazard).
+      val d = t(s, dir, "documents")
+        .select(col("lang"), col("doc_id").cast("long").as("doc_id"),
+          greatest(col("n_chars").cast("long"), lit(1L)).as("w"))
+        .withColumn("code", (ascii(substring(col("lang"), 1, 1)) * 256 +
+          ascii(substring(col("lang"), 2, 1))).cast("long"))
+        .withColumn("h", expr("(doc_id * 2654435761) % 1099511627776"))
+        .withColumn("score",
+          -(col("h").cast("double") / col("w").cast("double")))
+      graft.functions.TopK.perQuery(
+          d.select(col("code").as("query_id"), col("doc_id").as("id"),
+            col("score")), 10)
+        .select(col("query_id").as("lang_code"), col("rank"),
+          col("id").as("doc_id"), col("score"))
+        .orderBy("lang_code", "rank")
+    }),
+
+    "q72_hashed_classifier" -> ((s, dir) => {
+      // Model-based quality filtering with a HASHED-FEATURES linear
+      // classifier — the fasttext/DCLM-style quality-scorer shape:
+      // word -> 32-bit md5 bucket mod 1024, score = sum of per-bucket
+      // weights over the doc's words (with multiplicity), keep = sign.
+      // The weight table here is a fixed closed-form map (a real
+      // deployment swaps in trained weights; the operator IS the
+      // hashing/scoring plumbing). Cross-engine exactness: Spark
+      // conv(hex,16,10) and DuckDB '0x'-cast read the same 8 md5 hex
+      // chars to the same int, and scoring is all integer adds.
+      // Scale: higher-order aggregate over split() — MAP-ONLY per doc
+      // (no explode, the q27 discipline), one tiny (lang, kept) agg.
+      val score = expr(
+        """aggregate(
+          |  filter(split(text, ' '), w -> w != ''),
+          |  CAST(0 AS BIGINT),
+          |  (acc, w) -> acc +
+          |    (((CAST(conv(substring(md5(CAST(w AS BINARY)), 1, 8), 16, 10)
+          |        AS BIGINT) % 1024) * 2654435761) % 17) - 8)""".stripMargin)
+      t(s, dir, "documents")
+        .select(col("lang"), col("doc_id").cast("long").as("doc_id"),
+          score.as("score"))
+        .withColumn("kept", col("score") >= 0)
+        .groupBy(col("lang"), col("kept"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("score")).as("sum_score"),
+          min(col("score")).as("min_score"),
+          max(col("score")).as("max_score"))
+        .orderBy("lang", "kept")
+    }),
+
     // ---- extraction pipeline (rows-only: not SQL-expressible) ----
     "x01_extract_plain" -> ((s, _) => {
       val (pagesDir, _) = microTables(s)
@@ -4101,5 +4160,41 @@ object SparkEntry {
         |  CAST(max(bin) AS BIGINT) AS max_bin,
         |  CAST(sum(doc_id) AS BIGINT) AS doc_checksum
         |FROM sh GROUP BY shard ORDER BY shard""".stripMargin,
+    // q71: same hash, same single-division priority, same (desc, id)
+    // order as the bounded TopK aggregator — the oracle uses the
+    // row_number window the aggregator provably replaces.
+    "q71_weighted_sample" ->
+      """WITH d AS (
+        |  SELECT lang, CAST(doc_id AS BIGINT) AS doc_id,
+        |    greatest(CAST(n_chars AS BIGINT), 1) AS w,
+        |    CAST(ascii(substr(lang, 1, 1)) * 256
+        |      + ascii(substr(lang, 2, 1)) AS BIGINT) AS code,
+        |    (CAST(doc_id AS BIGINT) * 2654435761) % 1099511627776 AS h
+        |  FROM documents),
+        |p AS (
+        |  SELECT code, doc_id,
+        |    -(CAST(h AS DOUBLE) / CAST(w AS DOUBLE)) AS score,
+        |    row_number() OVER (PARTITION BY code
+        |      ORDER BY -(CAST(h AS DOUBLE) / CAST(w AS DOUBLE)) DESC,
+        |        doc_id ASC) AS rank
+        |  FROM d)
+        |SELECT code AS lang_code, CAST(rank AS BIGINT) AS rank, doc_id, score
+        |FROM p WHERE rank <= 10 ORDER BY lang_code, rank""".stripMargin,
+    // q72: same md5-hex bucket (DuckDB parses '0x'-prefixed strings as
+    // BIGINT), same integer weight map, same sum — list_transform +
+    // list_sum mirror the Spark higher-order aggregate.
+    "q72_hashed_classifier" ->
+      """WITH d AS (
+        |  SELECT lang, CAST(doc_id AS BIGINT) AS doc_id,
+        |    coalesce(list_sum(list_transform(
+        |      list_filter(string_split(text, ' '), w -> w <> ''),
+        |      w -> (((CAST('0x' || substr(md5(w), 1, 8) AS BIGINT) % 1024)
+        |             * 2654435761) % 17) - 8)), 0) AS score
+        |  FROM documents)
+        |SELECT lang, score >= 0 AS kept, count(*) AS n_docs,
+        |  CAST(sum(score) AS BIGINT) AS sum_score,
+        |  CAST(min(score) AS BIGINT) AS min_score,
+        |  CAST(max(score) AS BIGINT) AS max_score
+        |FROM d GROUP BY lang, kept ORDER BY lang, kept""".stripMargin,
   )
 }
