@@ -48,15 +48,18 @@ object CountMin extends Serializable {
 
   /** Point-query estimates for `queries` (long column `item`, distinct
     * rows) against a counter table from buildCounters. Output:
-    * (item, est). */
+    * (item, est). An empty bucket counts as 0 (left join + coalesce),
+    * so an item the stream never held estimates 0 unless ALL its d
+    * buckets collide — exact Count-Min semantics for unseen items,
+    * not just for seen ones. */
   def estimate(queries: DataFrame, counters: DataFrame,
                d: Int = 3, w: Int = 32): DataFrame = {
     queries
       .withColumn("r", explode(array((0 until d).map(lit): _*)))
       .withColumn("bucket", expr(
         s"CASE ${(0 until d).map(r => s"WHEN r = $r THEN ${bucketExpr(r, "item", w)}").mkString(" ")} END"))
-      .join(broadcast(counters), Seq("r", "bucket"))
+      .join(broadcast(counters), Seq("r", "bucket"), "left")
       .groupBy(col("item"))
-      .agg(min(col("cnt")).as("est"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
   }
 }

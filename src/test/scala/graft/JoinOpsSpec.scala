@@ -122,6 +122,12 @@ class JoinOpsSpec extends AnyFunSuite {
       .join(tiny.groupBy("item").agg(count(lit(1)).as("exact")), Seq("item"))
       .collect()
     assert(te.forall(r => r.getLong(1) == r.getLong(2)))
+    // unseen item: an empty bucket counts as 0, so the estimate is the
+    // true Count-Min min (0 here — item 999's buckets miss all three
+    // seen items' buckets), not a min over only-populated buckets
+    val unseen = CountMin.estimate(Seq(999L).map(Tuple1(_)).toDF("item"), tc, 3, 32)
+      .collect()
+    assert(unseen.length == 1 && unseen.head.getLong(1) == 0L)
   }
 
   test("CountMin counters partitioning-invariant: 1 vs 8 partitions") {
