@@ -26,7 +26,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.functions.NfcNormalize].getName, "nfc_normalize"),
       exprs => graft.functions.NfcNormalize(exprs.head)))
     // plan-level surface: range-containment theta joins become
-    // bucket-expansion equi-joins (plans/RangeJoinRewrite)
+    // bucket-expansion equi-joins (plans/RangeJoinRewrite). Inert until
+    // the session opts in with spark.graft.rangejoin.bucketWidth — the
+    // bin size must be chosen against the data's interval widths.
     ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
   }
 }

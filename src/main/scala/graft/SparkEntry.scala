@@ -2165,13 +2165,16 @@ object SparkEntry {
       // chars to the same int, and scoring is all integer adds.
       // Scale: higher-order aggregate over split() — MAP-ONLY per doc
       // (no explode, the q27 discipline), one tiny (lang, kept) agg.
+      // coalesce: a NULL text scores 0 (kept), matching the oracle's
+      // coalesce(list_sum(...), 0) — without it Spark propagates NULL
+      // through aggregate() and the engines diverge on nullable text
       val score = expr(
-        """aggregate(
+        """coalesce(aggregate(
           |  filter(split(text, ' '), w -> w != ''),
           |  CAST(0 AS BIGINT),
           |  (acc, w) -> acc +
           |    (((CAST(conv(substring(md5(CAST(w AS BINARY)), 1, 8), 16, 10)
-          |        AS BIGINT) % 1024) * 2654435761) % 17) - 8)""".stripMargin)
+          |        AS BIGINT) % 1024) * 2654435761) % 17) - 8), CAST(0 AS BIGINT))""".stripMargin)
       t(s, dir, "documents")
         .select(col("lang"), col("doc_id").cast("long").as("doc_id"),
           score.as("score"))
@@ -2182,6 +2185,53 @@ object SparkEntry {
           min(col("score")).as("min_score"),
           max(col("score")).as("max_score"))
         .orderBy("lang", "kept")
+    }),
+
+    "q73_decontam_excise" -> ((s, dir) => {
+      // Decontamination by span EXCISION (DecontamBloom.exciseGrams) —
+      // the surgical form: q28/x24 flag or drop whole docs, this
+      // removes exactly the tokens covered by matching benchmark
+      // n-grams and keeps the rest of the page. Contamination is
+      // PLANTED closed-form (zz-prefixed marker grams that cannot
+      // occur naturally): mid-page quote, leading quote, adjacent
+      // double quote (union of overlapping excisions), and a PARTIAL
+      // marker that must SURVIVE — so the oracle states each doc's
+      // expected cleaned text directly (the q36 closed-form
+      // discipline) and any kernel deviation shifts the md5 signature.
+      // Scale: gram set broadcasts in the closure, excision is
+      // map-only, one (lang) audit agg.
+      import s.implicits._
+      val grams = Set("zzeval zzbench zzq zzalpha", "zzeval zzbench zzq zzbeta")
+      val pages = t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"), col("lang"),
+          expr("concat_ws(' ', filter(split(text, ' '), w -> w != ''))").as("btext"))
+        .withColumn("page", expr(
+          """concat(
+            |  CASE CAST(doc_id % 3 AS INT)
+            |    WHEN 0 THEN concat(btext, ' zzeval zzbench zzq zzalpha ', btext)
+            |    WHEN 1 THEN concat('zzeval zzbench zzq zzbeta ', btext)
+            |    ELSE btext END,
+            |  CASE WHEN doc_id % 7 = 0
+            |    THEN ' zzeval zzbench zzq zzalpha zzeval zzbench zzq zzalpha'
+            |    ELSE '' END,
+            |  CASE WHEN doc_id % 5 = 0 THEN ' zzeval zzbench' ELSE '' END)""".stripMargin))
+      val cleaned = pages.select(col("doc_id"), col("lang"), col("page"))
+        .as[(Long, String, String)]
+        .mapPartitions { it =>
+          it.map { case (id, lang, page) =>
+            val (clean, removed) =
+              graft.functions.DecontamBloom.exciseGrams(page, grams, 4)
+            (id, lang, clean, removed.toLong)
+          }
+        }
+        .toDF("doc_id", "lang", "clean", "n_removed")
+      cleaned.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_removed")).as("sum_removed"),
+          sum(expr("CAST(conv(substring(md5(CAST(clean AS BINARY)), 1, 8), 16, 10) AS BIGINT)"))
+            .as("clean_sig"),
+          sum(length(col("clean"))).cast("long").as("sum_chars"))
+        .orderBy("lang")
     }),
 
     // ---- extraction pipeline (rows-only: not SQL-expressible) ----
@@ -4196,5 +4246,32 @@ object SparkEntry {
         |  CAST(min(score) AS BIGINT) AS min_score,
         |  CAST(max(score) AS BIGINT) AS max_score
         |FROM d GROUP BY lang, kept ORDER BY lang, kept""".stripMargin,
+    // q73: the oracle does NOT reimplement excision — it states each
+    // doc's expected cleaned text in closed form from the planted
+    // layout (marker tokens vanish, the partial marker survives) and
+    // checksums it, so any kernel deviation shifts clean_sig.
+    "q73_decontam_excise" ->
+      """WITH d AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+        |    array_to_string(list_filter(string_split(text, ' '),
+        |      w -> w <> ''), ' ') AS btext
+        |  FROM documents),
+        |e AS (
+        |  SELECT doc_id, lang,
+        |    (CASE CAST(doc_id % 3 AS INT)
+        |       WHEN 0 THEN btext || ' ' || btext
+        |       ELSE btext END)
+        |    || (CASE WHEN doc_id % 5 = 0 THEN ' zzeval zzbench' ELSE '' END)
+        |      AS clean,
+        |    CAST((CASE WHEN doc_id % 3 IN (0, 1) THEN 4 ELSE 0 END)
+        |      + (CASE WHEN doc_id % 7 = 0 THEN 8 ELSE 0 END) AS BIGINT)
+        |      AS n_removed
+        |  FROM d)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_removed) AS BIGINT) AS sum_removed,
+        |  CAST(sum(CAST('0x' || substr(md5(clean), 1, 8) AS BIGINT)) AS BIGINT)
+        |    AS clean_sig,
+        |  CAST(sum(length(clean)) AS BIGINT) AS sum_chars
+        |FROM e GROUP BY lang ORDER BY lang""".stripMargin,
   )
 }

@@ -41,6 +41,15 @@ object AsofJoin extends Serializable {
   def asofJoin(left: DataFrame, right: DataFrame,
                keyCol: String, tsCol: String,
                asofCol: String = "asof"): DataFrame = {
+    // fail fast on column collisions: chained lookups (resolve robots
+    // revision, then config revision) would otherwise silently clobber
+    // the earlier result via withColumn-replace
+    val reserved = Seq(asofCol, "asof_ts", "__side", "__rv", "__rts")
+    val clash = (left.columns ++ right.columns).filter(reserved.contains)
+    require(clash.isEmpty,
+      s"asofJoin reserves columns ${reserved.mkString(", ")}; " +
+        s"input already has ${clash.mkString(", ")} — rename or pass a " +
+        "different asofCol")
     val payloadCols = right.columns.filter(c => c != keyCol && c != tsCol)
     val l = left.withColumn("__side", lit(1))
       .withColumn("__rv", lit(null).cast(

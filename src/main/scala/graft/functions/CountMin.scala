@@ -30,8 +30,13 @@ object CountMin extends Serializable {
   final val DefaultA = Seq(31L, 57L, 97L)
   final val DefaultB = Seq(11L, 3L, 73L)
 
+  /** pmod, not %: a negative item (raw signed hash output) must land
+    * in 0..w-1 like everything else, or the counter table silently
+    * holds up to d*(2w-1) rows and the collision analysis breaks.
+    * Items must stay within |item| < 2^57 so a*item cannot overflow
+    * (overflow would wrap in Spark but ERROR in a DuckDB oracle). */
   private def bucketExpr(r: Int, itemCol: String, w: Int): String =
-    s"((${DefaultA(r)} * $itemCol + ${DefaultB(r)}) % $P) % $w"
+    s"pmod(pmod(${DefaultA(r)} * $itemCol + ${DefaultB(r)}, $P), $w)"
 
   /** Build the d x w counter table from `items` (long column `item`;
     * one stream element per row). Output: (r, bucket, cnt) — at most

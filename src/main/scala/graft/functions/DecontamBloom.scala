@@ -25,4 +25,36 @@ object DecontamBloom {
     }
     n
   }
+
+  /** Span EXCISION — the surgical form of decontamination (q73): every
+    * token covered by ANY n-gram window found in `grams` is removed and
+    * the survivors rejoin on single spaces, so a doc that merely QUOTES
+    * a benchmark item loses the quote, not its place in the corpus
+    * (dropping whole docs — x24's form — throws away the other 99% of a
+    * long page). Overlapping and adjacent matches excise as their
+    * union. Returns (cleaned text, tokens removed). Exact-set matching
+    * here (broadcast Set), unlike the Bloom probe: excision is
+    * destructive, so false positives are NOT safe on this path. */
+  def exciseGrams(text: String, grams: Set[String], n: Int): (String, Int) = {
+    val toks = text.split(" ").filter(_.nonEmpty)
+    if (toks.length < n) return (toks.mkString(" "), 0)
+    val drop = new Array[Boolean](toks.length)
+    var i = 0
+    while (i + n <= toks.length) {
+      if (grams.contains(toks.slice(i, i + n).mkString(" "))) {
+        var j = i
+        while (j < i + n) { drop(j) = true; j += 1 }
+      }
+      i += 1
+    }
+    val kept = new StringBuilder
+    var removed = 0
+    i = 0
+    while (i < toks.length) {
+      if (drop(i)) removed += 1
+      else { if (kept.nonEmpty) kept.append(' '); kept.append(toks(i)) }
+      i += 1
+    }
+    (kept.toString, removed)
+  }
 }

@@ -60,7 +60,9 @@ object DedupIndex extends Serializable {
   private def fingerprint(docs: DataFrame): (Long, Long) = {
     val r = docs.select(xxhash64(col("doc_id"), col("text")).as("x"))
       .agg(count(lit(1)).as("n"), expr("bit_xor(x)").as("fp")).head()
-    (r.getLong(0), r.getLong(1))
+    // bit_xor over zero rows is NULL — an empty corpus/delta (a crawl
+    // round that fetched nothing) fingerprints as 0, not an NPE
+    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
   }
 
   private def manifestPath(dir: String) =
@@ -105,28 +107,42 @@ object DedupIndex extends Serializable {
     * rows a fresh build over old ∪ delta would hold). Manifest updates
     * by delta-XOR, so `isCurrent(old ∪ delta)` holds afterwards. */
   def append(spark: SparkSession, dir: String, newDocs: DataFrame): Unit = {
+    // the two index writes and the manifest fingerprint all walk the
+    // delta lineage — one delta-sized cache instead of three passes
     val reps = withRep(newDocs)
-    val oldHashes = spark.read.parquet(s"$dir/hashes")
-    val fresh = reps.filter(col("doc_id") === col("rep_id"))
-      .join(oldHashes.select(col("h")), Seq("h"), "left_anti")
-    fresh.select(col("h"), col("doc_id").as("rep_id"))
-      .withColumn("hb", conv(substring(col("h"), 1, 2), 16, 10).cast("int"))
-      .write.mode("append").partitionBy("hb").parquet(s"$dir/hashes")
-    bandRows(fresh.select(col("doc_id"), col("text")))
-      .write.mode("append").partitionBy("kb").parquet(s"$dir/bands")
-    val (oldN, oldFp) = readManifest(dir)
-    val (dn, dfp) = fingerprint(reps)
-    writeManifest(dir, oldN + dn, oldFp ^ dfp)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val oldHashes = spark.read.parquet(s"$dir/hashes")
+      val fresh = reps.filter(col("doc_id") === col("rep_id"))
+        .join(oldHashes.select(col("h")), Seq("h"), "left_anti")
+      fresh.select(col("h"), col("doc_id").as("rep_id"))
+        .withColumn("hb", conv(substring(col("h"), 1, 2), 16, 10).cast("int"))
+        .write.mode("append").partitionBy("hb").parquet(s"$dir/hashes")
+      bandRows(fresh.select(col("doc_id"), col("text")))
+        .write.mode("append").partitionBy("kb").parquet(s"$dir/bands")
+      val (oldN, oldFp) = readManifest(dir)
+      val (dn, dfp) = fingerprint(reps)
+      writeManifest(dir, oldN + dn, oldFp ^ dfp)
+    } finally reps.unpersist()
   }
 
   /** All near-dup pairs of (indexed corpus ∪ newDocs) touching at
     * least one new doc: (doc_a, doc_b, jaccard_x100), doc_a < doc_b
     * except exact-pair rep order (rep first — lshCandidatePairs
-    * layout). Old-vs-old work: none. */
+    * layout). Old-vs-old work: none. Holds two DELTA-sized persists
+    * that the returned plan still references — after materializing the
+    * result, callers running many probes in one session should release
+    * them (unpersist via spark.catalog.clearCache() or session reuse
+    * policy); they are bounded by the delta, never the corpus. */
   def probeDelta(spark: SparkSession, dir: String, newDocs: DataFrame,
                  minJaccardX100: Int = 50, maxBucket: Int = 1024): DataFrame = {
     import spark.implicits._
+    // DELTA-sized caches (never corpus-sized): the hb/kb pruning
+    // collects below force two eager jobs over the delta lineage, and
+    // the returned plan evaluates it once more — without these persists
+    // every MinHash signature would compute three times per probe
     val reps = withRep(newDocs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // -- exact dups vs the indexed corpus: hb-pruned equi-join
     val newHashes = reps.select(col("doc_id"), col("h"))
@@ -151,6 +167,7 @@ object DedupIndex extends Serializable {
         unseen.filter(col("doc_id") === col("rep_id"))
           .select(col("doc_id"), col("text")))
       .withColumn("is_new", lit(true))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val kbs = newBanded.select("kb").distinct().as[Int].collect() // <= 256
     val deltaKeys = newBanded.select("band", "key").distinct()
     val oldBanded = spark.read.parquet(s"$dir/bands")
@@ -162,63 +179,10 @@ object DedupIndex extends Serializable {
       .repartition(col("band"), col("key"))
       .sortWithinPartitions("band", "key", "doc_id")
       .as[(Int, Long, Long, Array[Long], Boolean)]
-      .mapPartitions { it =>
-        // streaming bucket pairing, O(maxBucket) task state — the
-        // lshCandidatePairs iterator with an is-new filter: buckets
-        // arrive adjacent and id-ascending (local sort above), so the
-        // first row IS the bucket's global-min hub on overflow
-        new Iterator[(Long, Long, Double)] {
-          private val buf =
-            scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Long], Boolean)]
-          private var curBand = -1
-          private var curKey = 0L
-          private var overflow = false
-          private var hub: (Long, Array[Long], Boolean) = null
-          private var pending: Iterator[(Long, Long, Double)] = Iterator.empty
-          private def star(hb: (Long, Array[Long], Boolean),
-              m: (Long, Array[Long], Boolean)) =
-            (hb._1, m._1, TextSketch.estJaccard(hb._2, m._2))
-          private def allPairs(ds: Array[(Long, Array[Long], Boolean)]) =
-            for {
-              i <- ds.indices.iterator
-              j <- (i + 1) until ds.length
-              if ds(i)._1 != ds(j)._1
-              if ds(i)._3 || ds(j)._3 // at least one new side
-            } yield (ds(i)._1, ds(j)._1, TextSketch.estJaccard(ds(i)._2, ds(j)._2))
-          private def closeBucket(): Iterator[(Long, Long, Double)] =
-            if (overflow || buf.isEmpty) Iterator.empty
-            else { val out = allPairs(buf.toArray); buf.clear(); out }
-          private def advance(): Unit = while (!pending.hasNext && it.hasNext) {
-            val (band, key, id, sig, isNew) = it.next()
-            if (band != curBand || key != curKey) {
-              pending = closeBucket()
-              curBand = band; curKey = key; overflow = false
-              buf.clear(); buf += ((id, sig, isNew)); hub = (id, sig, isNew)
-            } else if (overflow) {
-              if (id != hub._1 && (isNew || hub._3))
-                pending = Iterator(star(hub, (id, sig, isNew)))
-            } else {
-              buf += ((id, sig, isNew))
-              if (buf.length > maxBucket) {
-                overflow = true
-                val members = buf.toArray
-                buf.clear()
-                pending = members.iterator.drop(1)
-                  .filter(m => m._1 != hub._1 && (m._3 || hub._3))
-                  .map(m => star(hub, m))
-              }
-            }
-          }
-          def hasNext: Boolean = {
-            advance()
-            if (!pending.hasNext && !it.hasNext) { pending = closeBucket(); curBand = -1 }
-            pending.hasNext
-          }
-          def next(): (Long, Long, Double) = {
-            if (!hasNext) Iterator.empty.next(); pending.next()
-          }
-        }
-      }
+      // the ONE pairing implementation, shared with lshCandidatePairs —
+      // index rows are tagged old, so old-vs-old pairs never emit and
+      // the equivalence contract cannot drift from the full-corpus op
+      .mapPartitions(it => TextSketch.bucketPairIterator(it, maxBucket))
       .toDF("doc_a", "doc_b", "est_jaccard")
 
     bucketPairs.unionByName(vsOldExact).unionByName(withinExact)

@@ -91,6 +91,76 @@ object TextSketch extends Serializable {
     }
   }
 
+  /** Streaming bucket pairing shared by lshCandidatePairs (every row
+    * tagged new — the filter is vacuous) and DedupIndex.probeDelta
+    * (index rows tagged old — old-vs-old pairs are never emitted).
+    * ONE implementation so the DedupIndexSpec equivalence contract
+    * (probeDelta == full-corpus pairs touching the delta) cannot drift
+    * when the pairing logic changes.
+    *
+    * Input rows (band, key, doc_id, sig, isNew) must arrive with
+    * buckets adjacent and id-ascending (repartition by (band, key) +
+    * sortWithinPartitions upstream), so the first row of a bucket IS
+    * its global-min hub. O(maxBucket) task state: a bucket that
+    * overflows degrades to a streaming hub-star. Emits a pair iff at
+    * least one side is new. */
+  def bucketPairIterator(it: Iterator[(Int, Long, Long, Array[Long], Boolean)],
+      maxBucket: Int): Iterator[(Long, Long, Double)] =
+    new Iterator[(Long, Long, Double)] {
+      private val buf =
+        scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Long], Boolean)]
+      private var curBand = -1
+      private var curKey = 0L
+      private var overflow = false
+      private var hub: (Long, Array[Long], Boolean) = null
+      private var pending: Iterator[(Long, Long, Double)] = Iterator.empty
+      private def star(hb: (Long, Array[Long], Boolean),
+          m: (Long, Array[Long], Boolean)) =
+        (hb._1, m._1, estJaccard(hb._2, m._2))
+      private def allPairs(ds: Array[(Long, Array[Long], Boolean)]) =
+        for {
+          i <- ds.indices.iterator
+          j <- (i + 1) until ds.length
+          if ds(i)._1 != ds(j)._1 // duplicate doc_id rows: no self-pairs
+          if ds(i)._3 || ds(j)._3 // at least one new side
+        } yield (ds(i)._1, ds(j)._1, estJaccard(ds(i)._2, ds(j)._2))
+      private def closeBucket(): Iterator[(Long, Long, Double)] =
+        if (overflow || buf.isEmpty) Iterator.empty
+        else { val out = allPairs(buf.toArray); buf.clear(); out }
+      private def advance(): Unit = while (!pending.hasNext && it.hasNext) {
+        val (band, key, id, sig, isNew) = it.next()
+        if (band != curBand || key != curKey) {
+          pending = closeBucket()
+          curBand = band; curKey = key; overflow = false
+          buf.clear(); buf += ((id, sig, isNew)); hub = (id, sig, isNew)
+        } else if (overflow) {
+          // streaming star: hub is the bucket's first (= min) id
+          if (id != hub._1 && (isNew || hub._3))
+            pending = Iterator(star(hub, (id, sig, isNew)))
+        } else {
+          buf += ((id, sig, isNew))
+          if (buf.length > maxBucket) {
+            overflow = true
+            // degrade the WHOLE bucket to the hub star (matches the
+            // join-back formulation: big buckets emit only hub pairs)
+            val members = buf.toArray
+            buf.clear()
+            pending = members.iterator.drop(1)
+              .filter(m => m._1 != hub._1 && (m._3 || hub._3))
+              .map(m => star(hub, m))
+          }
+        }
+      }
+      def hasNext: Boolean = {
+        advance()
+        if (!pending.hasNext && !it.hasNext) { pending = closeBucket(); curBand = -1 }
+        pending.hasNext
+      }
+      def next(): (Long, Long, Double) = {
+        if (!hasNext) Iterator.empty.next(); pending.next()
+      }
+    }
+
   /** Jaccard estimate from two signatures. */
   def estJaccard(a: Array[Long], b: Array[Long]): Double = {
     var eq = 0
@@ -143,58 +213,11 @@ object TextSketch extends Serializable {
     // one shuffle: co-locate each bucket, locally sorted so rows of a
     // bucket are adjacent and id-ascending (first row = global-min hub)
     val bucketPairs = banded
+      .withColumn("is_new", lit(true)) // full-corpus run: every pair emits
       .repartition(col("band"), col("key"))
       .sortWithinPartitions("band", "key", "doc_id")
-      .as[(Int, Long, Long, Array[Long])]
-      .mapPartitions { it =>
-        new Iterator[(Long, Long, Double)] {
-          private val buf = new scala.collection.mutable.ArrayBuffer[(Long, Array[Long])]
-          private var curBand = -1
-          private var curKey = 0L
-          private var overflow = false
-          private var hub: (Long, Array[Long]) = null
-          private var pending: Iterator[(Long, Long, Double)] = Iterator.empty
-          private def allPairs(ds: Array[(Long, Array[Long])]) =
-            for {
-              i <- ds.indices.iterator
-              j <- (i + 1) until ds.length
-              if ds(i)._1 != ds(j)._1 // duplicate doc_id rows: no self-pairs
-            } yield (ds(i)._1, ds(j)._1, estJaccard(ds(i)._2, ds(j)._2))
-          private def closeBucket(): Iterator[(Long, Long, Double)] =
-            if (overflow || buf.isEmpty) Iterator.empty
-            else { val out = allPairs(buf.toArray); buf.clear(); out }
-          private def advance(): Unit = while (!pending.hasNext && it.hasNext) {
-            val (band, key, id, sig) = it.next()
-            if (band != curBand || key != curKey) {
-              pending = closeBucket()
-              curBand = band; curKey = key; overflow = false
-              buf.clear(); buf += ((id, sig)); hub = (id, sig)
-            } else if (overflow) {
-              // streaming star: hub is the bucket's first (= min) id
-              if (id != hub._1)
-                pending = Iterator((hub._1, id, estJaccard(hub._2, sig)))
-            } else {
-              buf += ((id, sig))
-              if (buf.length > maxBucket) {
-                overflow = true
-                // degrade the WHOLE bucket to the hub star (matches the
-                // join-back formulation: big buckets emit only hub pairs)
-                val members = buf.toArray
-                buf.clear()
-                pending = members.iterator.drop(1)
-                  .filter(_._1 != hub._1)
-                  .map { case (id2, sig2) => (hub._1, id2, estJaccard(hub._2, sig2)) }
-              }
-            }
-          }
-          def hasNext: Boolean = {
-            advance()
-            if (!pending.hasNext && !it.hasNext) { pending = closeBucket(); curBand = -1 }
-            pending.hasNext
-          }
-          def next(): (Long, Long, Double) = { if (!hasNext) Iterator.empty.next(); pending.next() }
-        }
-      }
+      .as[(Int, Long, Long, Array[Long], Boolean)]
+      .mapPartitions(it => bucketPairIterator(it, maxBucket))
       .toDF("doc_a", "doc_b", "est_jaccard")
     bucketPairs.unionByName(exactPairs)
       .filter(col("doc_a") =!= col("doc_b"))

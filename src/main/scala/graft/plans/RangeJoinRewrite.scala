@@ -37,8 +37,18 @@ import org.apache.spark.sql.types.LongType
   */
 object RangeJoinRewrite extends Rule[LogicalPlan] {
 
-  /** Coarse bucket width; see RangeJoin's fan-out-vs-selectivity note. */
-  val BucketWidth = 64L
+  /** The rewrite is OPT-IN per session: it fires only when this conf
+    * is set to a positive bucket width. Reason: the explode emits
+    * ceil((hi-lo)/W) rows per range, so W must be chosen against the
+    * actual interval widths — a globally-on rule with a fixed W would
+    * turn a wide-interval join (epoch-millis ranges, a [0, MaxValue)
+    * sentinel row) from a slow-but-finishing nested loop into a row
+    * explosion or a sequence() overflow. Same contract as the
+    * published range-join hints: the user names the bin size. */
+  val WidthConf = "spark.graft.rangejoin.bucketWidth"
+
+  private def bucketWidth: Option[Long] =
+    conf.getConfString(WidthConf, "").toLongOption.filter(_ > 0)
 
   private case class Shape(x: Attribute, lo: Attribute, hi: Attribute,
                            probeLeft: Boolean)
@@ -59,34 +69,37 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
     case _ => None
   }
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case j @ Join(left, right, Inner, Some(cond), hint) if j.resolved =>
-      shape(cond, left, right) match {
-        case None => j
-        case Some(Shape(x, lo, hi, probeLeft)) =>
-          val w = Literal(BucketWidth)
-          val probe = if (probeLeft) left else right
-          val ranges = if (probeLeft) right else left
-          // probe side: __rj_bucket = x div W
-          val bAlias = Alias(IntegralDivide(x, w), "__rj_bucket")()
-          val probeB = Project(probe.output :+ bAlias, probe)
-          // ranges side: drop impossible rows, explode covered buckets
-          val nonEmpty = Filter(GreaterThan(hi, lo), ranges)
-          val gOut = AttributeReference("__rj_bucket", LongType)()
-          // timeZoneId must be set for Sequence to count as resolved
-          // (TimeZoneAwareExpression contract) — irrelevant for longs
-          val seq = new Sequence(
-            IntegralDivide(lo, w),
-            IntegralDivide(Subtract(hi, Literal(1L)), w),
-            Some(Literal(1L)), Some("UTC"))
-          val gen = Generate(Explode(seq), Nil, outer = false, None,
-            Seq(gOut), nonEmpty)
-          val eq = EqualTo(bAlias.toAttribute, gOut)
-          val (nl, nr) = if (probeLeft) (probeB, gen) else (gen, probeB)
-          // original probe/ranges columns survive; the helper buckets are
-          // pruned away by column pruning above this join
-          Project(j.output,
-            Join(nl, nr, Inner, Some(And(eq, cond)), hint))
-      }
+  override def apply(plan: LogicalPlan): LogicalPlan = bucketWidth match {
+    case None => plan // conf unset: rule is inert
+    case Some(width) => plan.transformUp {
+      case j @ Join(left, right, Inner, Some(cond), hint) if j.resolved =>
+        shape(cond, left, right) match {
+          case None => j
+          case Some(Shape(x, lo, hi, probeLeft)) =>
+            val w = Literal(width)
+            val probe = if (probeLeft) left else right
+            val ranges = if (probeLeft) right else left
+            // probe side: __rj_bucket = x div W
+            val bAlias = Alias(IntegralDivide(x, w), "__rj_bucket")()
+            val probeB = Project(probe.output :+ bAlias, probe)
+            // ranges side: drop impossible rows, explode covered buckets
+            val nonEmpty = Filter(GreaterThan(hi, lo), ranges)
+            val gOut = AttributeReference("__rj_bucket", LongType)()
+            // timeZoneId must be set for Sequence to count as resolved
+            // (TimeZoneAwareExpression contract) — irrelevant for longs
+            val seq = new Sequence(
+              IntegralDivide(lo, w),
+              IntegralDivide(Subtract(hi, Literal(1L)), w),
+              Some(Literal(1L)), Some("UTC"))
+            val gen = Generate(Explode(seq), Nil, outer = false, None,
+              Seq(gOut), nonEmpty)
+            val eq = EqualTo(bAlias.toAttribute, gOut)
+            val (nl, nr) = if (probeLeft) (probeB, gen) else (gen, probeB)
+            // original probe/ranges columns survive; the helper buckets
+            // are pruned away by column pruning above this join
+            Project(j.output,
+              Join(nl, nr, Inner, Some(And(eq, cond)), hint))
+        }
+    }
   }
 }

@@ -56,4 +56,20 @@ class DecontamBloomSpec extends AnyFunSuite {
       .as[Long].collect()
     assert(benchIds.nonEmpty && benchIds.forall(flags(_)))
   }
+
+  test("exciseGrams: overlap union, adjacency, partial survival, edges") {
+    import graft.functions.DecontamBloom.exciseGrams
+    val g = Set("a b c", "c d e")
+    // overlapping matches excise their UNION (a..e all covered)
+    assert(exciseGrams("x a b c d e y", g, 3) == (("x y", 5)))
+    // adjacent matches
+    assert(exciseGrams("a b c a b c", g, 3) == (("", 6)))
+    // partial marker survives
+    assert(exciseGrams("x a b y", g, 3) == (("x a b y", 0)))
+    // fewer tokens than n: unchanged (but whitespace-normalized)
+    assert(exciseGrams("a  b", g, 3) == (("a b", 0)))
+    assert(exciseGrams("", g, 3) == (("", 0)))
+    // no match anywhere
+    assert(exciseGrams("p q r s", g, 3) == (("p q r s", 0)))
+  }
 }

@@ -20,7 +20,21 @@ class RangeJoinRuleSpec extends AnyFunSuite {
 
   private def withRule[T](f: => T): T = {
     spark.experimental.extraOptimizations = Seq(graft.plans.RangeJoinRewrite)
-    try f finally { spark.experimental.extraOptimizations = Nil }
+    spark.conf.set(graft.plans.RangeJoinRewrite.WidthConf, "64")
+    try f finally {
+      spark.experimental.extraOptimizations = Nil
+      spark.conf.unset(graft.plans.RangeJoinRewrite.WidthConf)
+    }
+  }
+
+  test("rule is inert while the width conf is unset (opt-in contract)") {
+    spark.experimental.extraOptimizations = Seq(graft.plans.RangeJoinRewrite)
+    try {
+      val q = probe.join(ranges,
+        probe("x") >= ranges("lo") && probe("x") < ranges("hi"))
+      assert(q.queryExecution.executedPlan.toString.contains("NestedLoop"),
+        "without spark.graft.rangejoin.bucketWidth the rule must not fire")
+    } finally { spark.experimental.extraOptimizations = Nil }
   }
 
   private lazy val probe: DataFrame = {
