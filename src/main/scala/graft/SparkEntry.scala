@@ -2623,6 +2623,33 @@ object SparkEntry {
             .as("max_gap_ms"))
         .orderBy("host")
     }),
+    "x35_stream_countmin" -> ((s, _) => {
+      // streaming heavy-hitter counters: the q67 Count-Min grid
+      // continuously maintained over live ingest — state is the FIXED
+      // d*w counter grid whatever the host cardinality (contrast x25,
+      // whose state is a row per distinct key). Complete mode
+      // republishes <= 96 rows per trigger; StreamCountMinSpec pins
+      // stream == batch counters over the same rows.
+      val (pagesDir, _) = microTables(s)
+      val items = s.readStream
+        .schema(graft.streaming.StreamingExtract.pagesSchema)
+        .parquet(s"$pagesDir/data/*.parquet")
+        .select(pmod(xxhash64(parse_url(col("url"), lit("HOST"))), lit(1024))
+          .as("item"))
+      val name = s"cmx_${java.util.UUID.randomUUID().toString.take(8)}"
+      val q = graft.streaming.StreamingExtract.countMinStream(items)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.sql(s"SELECT * FROM $name")
+        .groupBy(col("r"))
+        .agg(count(lit(1)).as("n_buckets"),
+          sum(col("cnt")).as("total"),
+          max(col("cnt")).as("hottest"))
+        .orderBy("r")
+    }),
     "x20_crawl_sessions" -> ((s, _) => {
       // custom-state streaming (flatMapGroupsWithState + event-time
       // timeout): per-host crawl sessionization with a 7-day gap over the

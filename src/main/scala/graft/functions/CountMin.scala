@@ -38,18 +38,24 @@ object CountMin extends Serializable {
   private def bucketExpr(r: Int, itemCol: String, w: Int): String =
     s"pmod(pmod(${DefaultA(r)} * $itemCol + ${DefaultB(r)}, $P), $w)"
 
-  /** Build the d x w counter table from `items` (long column `item`;
-    * one stream element per row). Output: (r, bucket, cnt) — at most
-    * d*w rows. */
-  def buildCounters(items: DataFrame, d: Int = 3, w: Int = 32): DataFrame = {
+  /** (r, bucket) fan-out shared by the batch build, the estimate path
+    * and the STREAMING counter form (StreamingExtract.countMinStream) —
+    * one hashing kernel so the paths cannot drift. */
+  def expand(items: DataFrame, d: Int = 3, w: Int = 32): DataFrame = {
     require(d <= DefaultA.length, s"at most ${DefaultA.length} rows")
     items
       .withColumn("r", explode(array((0 until d).map(lit): _*)))
       .withColumn("bucket", expr(
         s"CASE ${(0 until d).map(r => s"WHEN r = $r THEN ${bucketExpr(r, "item", w)}").mkString(" ")} END"))
+  }
+
+  /** Build the d x w counter table from `items` (long column `item`;
+    * one stream element per row). Output: (r, bucket, cnt) — at most
+    * d*w rows. */
+  def buildCounters(items: DataFrame, d: Int = 3, w: Int = 32): DataFrame =
+    expand(items, d, w)
       .groupBy(col("r"), col("bucket"))
       .agg(count(lit(1)).as("cnt"))
-  }
 
   /** Point-query estimates for `queries` (long column `item`, distinct
     * rows) against a counter table from buildCounters. Output:
@@ -58,13 +64,9 @@ object CountMin extends Serializable {
     * buckets collide — exact Count-Min semantics for unseen items,
     * not just for seen ones. */
   def estimate(queries: DataFrame, counters: DataFrame,
-               d: Int = 3, w: Int = 32): DataFrame = {
-    queries
-      .withColumn("r", explode(array((0 until d).map(lit): _*)))
-      .withColumn("bucket", expr(
-        s"CASE ${(0 until d).map(r => s"WHEN r = $r THEN ${bucketExpr(r, "item", w)}").mkString(" ")} END"))
+               d: Int = 3, w: Int = 32): DataFrame =
+    expand(queries, d, w)
       .join(broadcast(counters), Seq("r", "bucket"), "left")
       .groupBy(col("item"))
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
-  }
 }
