@@ -2234,6 +2234,45 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    "q74_event_funnel" -> ((s, dir) => {
+      // Ordered-sequence (funnel) matching — MATCH_RECOGNIZE-lite:
+      // which users did view -> click -> purchase in time order, with
+      // first-match cascade semantics (t1 = first view, t2 = first
+      // click at/after t1, t3 = first purchase at/after t2). Spark
+      // side: ONE shuffle — per-user event arrays (bounded by a
+      // user's own activity, the q26 key shape) walked with pure
+      // higher-order column expressions (correlated lambdas, no
+      // second pass over the table). The oracle is a genuinely
+      // DIFFERENT algorithm — a 3-pass join cascade — so agreement
+      // checks the semantics, not a restatement. Millis via the
+      // q39 unix_millis/epoch_ms parity idiom.
+      val per = t(s, dir, "events")
+        .select(col("user_id").cast("long").as("u"),
+          unix_millis(col("ts").cast("timestamp")).as("tsm"),
+          col("event_type").as("ty"))
+        .groupBy(col("u"))
+        .agg(collect_list(struct(col("tsm"), col("ty"))).as("es"))
+        // conversion window: each stage must follow the previous within
+        // 6 hours, so the no-match (drop-off) path is genuinely
+        // exercised — without the bound this corpus converts everyone
+        .withColumn("t1", expr(
+          "array_min(transform(filter(es, e -> e.ty = 'view'), e -> e.tsm))"))
+        .withColumn("t2", expr(
+          "array_min(transform(filter(es, e -> e.ty = 'click' " +
+            "AND e.tsm >= t1 AND e.tsm <= t1 + 21600000), e -> e.tsm))"))
+        .withColumn("t3", expr(
+          "array_min(transform(filter(es, e -> e.ty = 'purchase' " +
+            "AND e.tsm >= t2 AND e.tsm <= t2 + 21600000), e -> e.tsm))"))
+      per.groupBy((col("u") % 5).as("cohort"))
+        .agg(count(lit(1)).as("n_users"),
+          count(col("t1")).as("n_viewed"),
+          count(col("t2")).as("n_clicked"),
+          count(col("t3")).as("n_purchased"),
+          coalesce(sum(col("t3") - col("t1")), lit(0L)).as("sum_funnel_ms"),
+          coalesce(max(col("t3") - col("t1")), lit(-1L)).as("max_funnel_ms"))
+        .orderBy("cohort")
+    }),
+
     // ---- extraction pipeline (rows-only: not SQL-expressible) ----
     "x01_extract_plain" -> ((s, _) => {
       val (pagesDir, _) = microTables(s)
@@ -4300,5 +4339,35 @@ object SparkEntry {
         |    AS clean_sig,
         |  CAST(sum(length(clean)) AS BIGINT) AS sum_chars
         |FROM e GROUP BY lang ORDER BY lang""".stripMargin,
+    // q74: the oracle runs the cascade as THREE grouped join passes —
+    // an independent formulation of the same first-match semantics.
+    "q74_event_funnel" ->
+      """WITH e AS (
+        |  SELECT CAST(user_id AS BIGINT) AS u, epoch_ms(ts) AS tsm,
+        |    event_type AS ty
+        |  FROM events),
+        |s1 AS (SELECT u, min(tsm) AS t1 FROM e WHERE ty = 'view' GROUP BY u),
+        |s2 AS (
+        |  SELECT e.u, min(e.tsm) AS t2
+        |  FROM e JOIN s1 ON e.u = s1.u
+        |  WHERE e.ty = 'click' AND e.tsm >= s1.t1
+        |    AND e.tsm <= s1.t1 + 21600000 GROUP BY e.u),
+        |s3 AS (
+        |  SELECT e.u, min(e.tsm) AS t3
+        |  FROM e JOIN s2 ON e.u = s2.u
+        |  WHERE e.ty = 'purchase' AND e.tsm >= s2.t2
+        |    AND e.tsm <= s2.t2 + 21600000 GROUP BY e.u),
+        |au AS (SELECT DISTINCT u FROM e)
+        |SELECT au.u % 5 AS cohort, count(*) AS n_users,
+        |  CAST(count(s1.t1) AS BIGINT) AS n_viewed,
+        |  CAST(count(s2.t2) AS BIGINT) AS n_clicked,
+        |  CAST(count(s3.t3) AS BIGINT) AS n_purchased,
+        |  CAST(coalesce(sum(s3.t3 - s1.t1), 0) AS BIGINT) AS sum_funnel_ms,
+        |  CAST(coalesce(max(s3.t3 - s1.t1), -1) AS BIGINT) AS max_funnel_ms
+        |FROM au
+        |LEFT JOIN s1 ON au.u = s1.u
+        |LEFT JOIN s2 ON au.u = s2.u
+        |LEFT JOIN s3 ON au.u = s3.u
+        |GROUP BY cohort ORDER BY cohort""".stripMargin,
   )
 }
