@@ -2204,7 +2204,10 @@ object SparkEntry {
       val grams = Set("zzeval zzbench zzq zzalpha", "zzeval zzbench zzq zzbeta")
       val pages = t(s, dir, "documents")
         .select(col("doc_id").cast("long").as("doc_id"), col("lang"),
-          expr("concat_ws(' ', filter(split(text, ' '), w -> w != ''))").as("btext"))
+          // coalesce: NULL text normalizes to '' in BOTH engines (the
+          // q72 nullable-text discipline)
+          expr("concat_ws(' ', filter(split(coalesce(text, ''), ' '), w -> w != ''))")
+            .as("btext"))
         .withColumn("page", expr(
           """concat(
             |  CASE CAST(doc_id % 3 AS INT)
@@ -4319,15 +4322,17 @@ object SparkEntry {
     "q73_decontam_excise" ->
       """WITH d AS (
         |  SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
-        |    array_to_string(list_filter(string_split(text, ' '),
+        |    array_to_string(list_filter(string_split(coalesce(text, ''), ' '),
         |      w -> w <> ''), ' ') AS btext
         |  FROM documents),
         |e AS (
         |  SELECT doc_id, lang,
-        |    (CASE CAST(doc_id % 3 AS INT)
-        |       WHEN 0 THEN btext || ' ' || btext
-        |       ELSE btext END)
-        |    || (CASE WHEN doc_id % 5 = 0 THEN ' zzeval zzbench' ELSE '' END)
+        |    array_to_string(list_filter(string_split(
+        |      (CASE CAST(doc_id % 3 AS INT)
+        |         WHEN 0 THEN btext || ' ' || btext
+        |         ELSE btext END)
+        |      || (CASE WHEN doc_id % 5 = 0 THEN ' zzeval zzbench' ELSE '' END),
+        |      ' '), w -> w <> ''), ' ')
         |      AS clean,
         |    CAST((CASE WHEN doc_id % 3 IN (0, 1) THEN 4 ELSE 0 END)
         |      + (CASE WHEN doc_id % 7 = 0 THEN 8 ELSE 0 END) AS BIGINT)

@@ -36,20 +36,23 @@ object AsofJoin extends Serializable {
 
   /** Left columns pass through; matched right payload lands in
     * `asofCol` (struct of the right row's non-key/ts columns) plus
-    * `asof_ts` (the matched right timestamp) — both NULL when no right
-    * row precedes the left row. */
+    * `<asofCol>_ts` (the matched right timestamp) — both NULL when no
+    * right row precedes the left row. Chained lookups work by naming
+    * each one: asofJoin(asofJoin(ev, robots, k, t, "robots"), config,
+    * k, t, "config"). */
   def asofJoin(left: DataFrame, right: DataFrame,
                keyCol: String, tsCol: String,
                asofCol: String = "asof"): DataFrame = {
-    // fail fast on column collisions: chained lookups (resolve robots
-    // revision, then config revision) would otherwise silently clobber
-    // the earlier result via withColumn-replace
-    val reserved = Seq(asofCol, "asof_ts", "__side", "__rv", "__rts")
+    // fail fast on column collisions, which withColumn would otherwise
+    // silently clobber; both output names derive from asofCol so a
+    // chained lookup only needs a distinct asofCol, not a rename
+    val tsOut = s"${asofCol}_ts"
+    val reserved = Seq(asofCol, tsOut, "__side", "__rv", "__rts")
     val clash = (left.columns ++ right.columns).filter(reserved.contains)
     require(clash.isEmpty,
       s"asofJoin reserves columns ${reserved.mkString(", ")}; " +
-        s"input already has ${clash.mkString(", ")} — rename or pass a " +
-        "different asofCol")
+        s"input already has ${clash.mkString(", ")} — pass a different " +
+        "asofCol (both outputs derive from it)")
     val payloadCols = right.columns.filter(c => c != keyCol && c != tsCol)
     val l = left.withColumn("__side", lit(1))
       .withColumn("__rv", lit(null).cast(
@@ -72,7 +75,7 @@ object AsofJoin extends Serializable {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l.unionByName(rFull)
       .withColumn(asofCol, last(col("__rv"), ignoreNulls = true).over(w))
-      .withColumn("asof_ts", last(col("__rts"), ignoreNulls = true).over(w))
+      .withColumn(tsOut, last(col("__rts"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
       .drop("__side", "__rv", "__rts")
   }

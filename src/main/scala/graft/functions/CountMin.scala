@@ -30,11 +30,15 @@ object CountMin extends Serializable {
   final val DefaultA = Seq(31L, 57L, 97L)
   final val DefaultB = Seq(11L, 3L, 73L)
 
+  /** Largest |item| for which a*item + b cannot overflow a long with
+    * the largest coefficient (a=97, b<=73): (2^63 - 1 - 73) / 97.
+    * Enforced in expand() — overflow would wrap silently in Spark but
+    * ERROR in a DuckDB oracle, the worst kind of divergence. */
+  final val MaxItem = (Long.MaxValue - 73L) / 97L
+
   /** pmod, not %: a negative item (raw signed hash output) must land
     * in 0..w-1 like everything else, or the counter table silently
-    * holds up to d*(2w-1) rows and the collision analysis breaks.
-    * Items must stay within |item| < 2^57 so a*item cannot overflow
-    * (overflow would wrap in Spark but ERROR in a DuckDB oracle). */
+    * holds up to d*(2w-1) rows and the collision analysis breaks. */
   private def bucketExpr(r: Int, itemCol: String, w: Int): String =
     s"pmod(pmod(${DefaultA(r)} * $itemCol + ${DefaultB(r)}, $P), $w)"
 
@@ -44,6 +48,11 @@ object CountMin extends Serializable {
   def expand(items: DataFrame, d: Int = 3, w: Int = 32): DataFrame = {
     require(d <= DefaultA.length, s"at most ${DefaultA.length} rows")
     items
+      // enforce the overflow contract at runtime (one comparison/row):
+      // an out-of-range item errors loudly instead of wrap-hashing
+      .withColumn("item", expr(
+        s"CASE WHEN abs(item) <= ${MaxItem}L THEN item " +
+          s"ELSE CAST(raise_error('CountMin item exceeds |${MaxItem}|') AS BIGINT) END"))
       .withColumn("r", explode(array((0 until d).map(lit): _*)))
       .withColumn("bucket", expr(
         s"CASE ${(0 until d).map(r => s"WHEN r = $r THEN ${bucketExpr(r, "item", w)}").mkString(" ")} END"))

@@ -129,13 +129,18 @@ object DedupIndex extends Serializable {
   /** All near-dup pairs of (indexed corpus ∪ newDocs) touching at
     * least one new doc: (doc_a, doc_b, jaccard_x100), doc_a < doc_b
     * except exact-pair rep order (rep first — lshCandidatePairs
-    * layout). Old-vs-old work: none. Holds two DELTA-sized persists
-    * that the returned plan still references — after materializing the
-    * result, callers running many probes in one session should release
-    * them (unpersist via spark.catalog.clearCache() or session reuse
-    * policy); they are bounded by the delta, never the corpus. */
+    * layout). Old-vs-old work: none.
+    *
+    * Cache discipline: the hb/kb pruning needs two eager collects over
+    * the delta lineage, so two DELTA-sized persists back them. With
+    * `materialize = true` (default) the result is computed eagerly
+    * (localCheckpoint) and BOTH persists are released before
+    * returning — a per-crawl-round probe loop leaks nothing. Pass
+    * false to get the lazy plan (plan inspection, custom sinks); the
+    * two persists then stay pinned until the caller clears them. */
   def probeDelta(spark: SparkSession, dir: String, newDocs: DataFrame,
-                 minJaccardX100: Int = 50, maxBucket: Int = 1024): DataFrame = {
+                 minJaccardX100: Int = 50, maxBucket: Int = 1024,
+                 materialize: Boolean = true): DataFrame = {
     import spark.implicits._
     // DELTA-sized caches (never corpus-sized): the hb/kb pruning
     // collects below force two eager jobs over the delta lineage, and
@@ -185,12 +190,19 @@ object DedupIndex extends Serializable {
       .mapPartitions(it => TextSketch.bucketPairIterator(it, maxBucket))
       .toDF("doc_a", "doc_b", "est_jaccard")
 
-    bucketPairs.unionByName(vsOldExact).unionByName(withinExact)
+    val pairs = bucketPairs.unionByName(vsOldExact).unionByName(withinExact)
       .filter(col("doc_a") =!= col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(max(col("est_jaccard")).as("est_jaccard"))
       .filter(col("est_jaccard") * 100 >= minJaccardX100)
       .select(col("doc_a"), col("doc_b"),
         floor(col("est_jaccard") * 100).cast("long").as("jaccard_x100"))
+    if (!materialize) pairs
+    else {
+      val out = pairs.localCheckpoint(true) // eager: result self-contained
+      reps.unpersist()
+      newBanded.unpersist()
+      out
+    }
   }
 }

@@ -47,8 +47,19 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
     * published range-join hints: the user names the bin size. */
   val WidthConf = "spark.graft.rangejoin.bucketWidth"
 
-  private def bucketWidth: Option[Long] =
-    conf.getConfString(WidthConf, "").toLongOption.filter(_ > 0)
+  private def bucketWidth: Option[Long] = {
+    val raw = conf.getConfString(WidthConf, "")
+    if (raw.isEmpty) None
+    else {
+      // the user explicitly opted in — a typo'd or non-positive value
+      // must ERROR, not silently fall back to the nested-loop plan
+      // (a silent perf cliff with no diagnostic)
+      val v = raw.trim.toLongOption.getOrElse(throw new IllegalArgumentException(
+        s"$WidthConf must be a positive long, got '$raw'"))
+      require(v > 0, s"$WidthConf must be positive, got $v")
+      Some(v)
+    }
+  }
 
   private case class Shape(x: Attribute, lo: Attribute, hi: Attribute,
                            probeLeft: Boolean)

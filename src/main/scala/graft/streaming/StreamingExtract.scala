@@ -343,9 +343,11 @@ object StreamingExtract {
     * build, so stream counters provably equal batch counters over the
     * same rows (StreamCountMinSpec). */
   def countMinStream(items: DataFrame, d: Int = 3, w: Int = 32): DataFrame =
-    graft.functions.CountMin.expand(items, d, w)
-      .groupBy(col("r"), col("bucket"))
-      .agg(count(lit(1)).as("cnt"))
+    // the WHOLE batch pipeline, not just the hashing kernel —
+    // buildCounters works unchanged on a streaming DataFrame, so a
+    // future change to the aggregation (weighted counts, say) cannot
+    // drift the pinned stream == batch equality
+    graft.functions.CountMin.buildCounters(items, d, w)
 
   /** The two sides of [[fetchesNearChanges]] from a pages glob: every
     * page is a fetch; pages whose url hash lands in a 1/4 slice mark a

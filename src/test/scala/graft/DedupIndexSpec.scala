@@ -120,10 +120,24 @@ class DedupIndexSpec extends AnyFunSuite {
   test("probe plan prunes bands partitions on kb") {
     val dir = Files.createTempDirectory("dedup_idx4").toString
     DedupIndex.build(df(oldDocs), dir)
-    val plan = DedupIndex.probeDelta(spark, dir, df(new1Docs))
+    // materialize = false: the lazy plan is the inspectable artifact
+    val plan = DedupIndex.probeDelta(spark, dir, df(new1Docs),
+        materialize = false)
       .queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
     assert(plan.contains("PartitionFilters") && plan.contains("kb"),
       s"no kb partition pruning in:\n$plan")
+  }
+
+  test("materialized probe releases its delta caches") {
+    val dir = Files.createTempDirectory("dedup_idx5").toString
+    DedupIndex.build(df(oldDocs), dir)
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val out = DedupIndex.probeDelta(spark, dir, df(new1Docs))
+    assert(out.count() > 0)
+    // the two delta persists are gone; only the localCheckpoint result
+    // remains pinned (bounded by the pair set)
+    val cached = spark.sparkContext.getPersistentRDDs.size - before
+    assert(cached <= 1, s"leaked caches: $cached")
   }
 }

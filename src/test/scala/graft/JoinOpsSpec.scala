@@ -75,6 +75,27 @@ class JoinOpsSpec extends AnyFunSuite {
     assert(row.getAs[org.apache.spark.sql.Row]("asof").getLong(0) == 77L)
   }
 
+  test("asofJoin chains: two named lookups coexist; a true clash fails fast") {
+    import spark.implicits._
+    val ev = Seq((1L, 5L, 10L), (2L, 5L, 30L)).toDF("event_id", "k", "ts")
+    val robots = Seq((5L, 8L, 100L)).toDF("k", "ts", "rev")
+    val config = Seq((5L, 25L, 200L)).toDF("k", "ts", "cfg")
+    val out = AsofJoin.asofJoin(
+      AsofJoin.asofJoin(ev, robots, "k", "ts", "robots"),
+      config, "k", "ts", "config")
+      .orderBy("event_id").collect()
+    // event 1: robots rev in force, no config yet; event 2: both
+    assert(out(0).getAs[org.apache.spark.sql.Row]("robots").getLong(0) == 100L)
+    assert(out(0).isNullAt(out(0).fieldIndex("config")))
+    assert(out(1).getAs[org.apache.spark.sql.Row]("robots").getLong(0) == 100L)
+    assert(out(1).getAs[org.apache.spark.sql.Row]("config").getLong(0) == 200L)
+    // reusing the same asofCol IS a clash — fail fast, not clobber
+    val chained = AsofJoin.asofJoin(ev, robots, "k", "ts", "a")
+    intercept[IllegalArgumentException] {
+      AsofJoin.asofJoin(chained, config, "k", "ts", "a")
+    }
+  }
+
   // ---- RangeJoin ----
 
   test("rangeJoin == naive theta join under overlapping ranges, any bucket width") {

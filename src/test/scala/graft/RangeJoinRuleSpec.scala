@@ -37,6 +37,29 @@ class RangeJoinRuleSpec extends AnyFunSuite {
     } finally { spark.experimental.extraOptimizations = Nil }
   }
 
+  test("an explicitly-set but invalid width ERRORS instead of silently disabling") {
+    spark.experimental.extraOptimizations = Seq(graft.plans.RangeJoinRewrite)
+    try {
+      for (bad <- Seq("64x", "0", "-1")) {
+        spark.conf.set(graft.plans.RangeJoinRewrite.WidthConf, bad)
+        val ex = intercept[Exception] {
+          probe.join(ranges,
+            probe("x") >= ranges("lo") && probe("x") < ranges("hi"))
+            .queryExecution.executedPlan
+        }
+        assert(ex.getMessage.contains("bucketWidth"), s"'$bad': ${ex.getMessage}")
+      }
+      // a padded-but-valid value works (trim)
+      spark.conf.set(graft.plans.RangeJoinRewrite.WidthConf, " 64 ")
+      val q = probe.join(ranges,
+        probe("x") >= ranges("lo") && probe("x") < ranges("hi"))
+      assert(!q.queryExecution.executedPlan.toString.contains("NestedLoop"))
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+      spark.conf.unset(graft.plans.RangeJoinRewrite.WidthConf)
+    }
+  }
+
   private lazy val probe: DataFrame = {
     import spark.implicits._
     val r = new graft.util.SplitMix64(21L)
