@@ -57,11 +57,11 @@ object AsofJoin extends Serializable {
     val l = left.withColumn("__side", lit(1))
       .withColumn("__rv", lit(null).cast(
         org.apache.spark.sql.types.StructType(
-          right.select(payloadCols.map(col _): _*).schema)))
+          right.select(payloadCols.toIndexedSeq.map(col _): _*).schema)))
       .withColumn("__rts", lit(null).cast(left.schema(tsCol).dataType))
     val r = right
       .withColumn("__side", lit(0))
-      .withColumn("__rv", struct(payloadCols.map(col _): _*))
+      .withColumn("__rv", struct(payloadCols.toIndexedSeq.map(col _): _*))
       .withColumn("__rts", col(tsCol))
       .select((Seq(keyCol, tsCol, "__side", "__rv", "__rts")
         ++ Nil).map(col _): _*)
@@ -69,7 +69,7 @@ object AsofJoin extends Serializable {
     val leftOnly = left.columns.filter(c => c != keyCol && c != tsCol)
     val rFull = leftOnly.foldLeft(r) { (df, c) =>
       df.withColumn(c, lit(null).cast(left.schema(c).dataType))
-    }.select(l.columns.map(col _): _*)
+    }.select(l.columns.toIndexedSeq.map(col _): _*)
     val w = Window.partitionBy(keyCol)
       .orderBy(col(tsCol).asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

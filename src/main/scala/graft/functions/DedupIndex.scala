@@ -154,7 +154,7 @@ object DedupIndex extends Serializable {
       .withColumn("hb", conv(substring(col("h"), 1, 2), 16, 10).cast("int"))
     val hbs = newHashes.select("hb").distinct().as[Int].collect() // <= 256
     val oldHashes = spark.read.parquet(s"$dir/hashes")
-      .filter(col("hb").isin(hbs.map(Integer.valueOf): _*))
+      .filter(col("hb").isin(hbs.toIndexedSeq.map(Integer.valueOf): _*))
     val vsOldExact = newHashes.join(oldHashes, Seq("h", "hb"))
       .select(col("rep_id").as("doc_a"), col("doc_id").as("doc_b"),
         lit(1.0).as("est_jaccard"))
@@ -176,7 +176,7 @@ object DedupIndex extends Serializable {
     val kbs = newBanded.select("kb").distinct().as[Int].collect() // <= 256
     val deltaKeys = newBanded.select("band", "key").distinct()
     val oldBanded = spark.read.parquet(s"$dir/bands")
-      .filter(col("kb").isin(kbs.map(Integer.valueOf): _*))
+      .filter(col("kb").isin(kbs.toIndexedSeq.map(Integer.valueOf): _*))
       .join(deltaKeys.hint("broadcast"), Seq("band", "key"), "left_semi")
       .withColumn("is_new", lit(false))
     val bucketPairs = newBanded.unionByName(oldBanded)

@@ -106,6 +106,6 @@ object ResumableRun {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val batches = fs.listStatus(p).map(_.getPath.toString)
       .filter(_.contains("batch_")).sorted
-    spark.read.parquet(batches: _*)
+    spark.read.parquet(batches.toIndexedSeq: _*)
   }
 }
