@@ -34,7 +34,18 @@ object DecontamBloom {
     * long page). Overlapping and adjacent matches excise as their
     * union. Returns (cleaned text, tokens removed). Exact-set matching
     * here (broadcast Set), unlike the Bloom probe: excision is
-    * destructive, so false positives are NOT safe on this path. */
+    * destructive, so false positives are NOT safe on this path.
+    *
+    * SINGLE-PASS contract: windows are matched against the ORIGINAL
+    * token sequence only. Removing a span can make previously
+    * non-adjacent tokens adjacent and thereby form a NEW matching
+    * n-gram ("a [b c d] e" with gram "a e c" after excising "b c d" is
+    * possible in principle) — that new window is NOT excised. This is
+    * deliberate: single-pass is deterministic and O(n), and iterated
+    * excision has no fixed semantics (the fixpoint depends on removal
+    * order for overlapping sets). Callers wanting closure re-apply
+    * until the removed count is 0 (each pass only shrinks the text, so
+    * it terminates). Fuzz-pinned in DecontamBloomSpec. */
   def exciseGrams(text: String, grams: Set[String], n: Int): (String, Int) = {
     val toks = text.split(" ").filter(_.nonEmpty)
     if (toks.length < n) return (toks.mkString(" "), 0)

@@ -72,4 +72,28 @@ class DecontamBloomSpec extends AnyFunSuite {
     // no match anywhere
     assert(exciseGrams("p q r s", g, 3) == (("p q r s", 0)))
   }
+
+  test("exciseGrams fuzz: never throws, count-conserving, deterministic, single-pass") {
+    import graft.functions.DecontamBloom.exciseGrams
+    val r = new graft.util.SplitMix64(77L)
+    val vocab = Array("a", "b", "c", "d", "zz", "")
+    (0 until 500).foreach { _ =>
+      val n = r.nextInt(30)
+      val text = (0 until n).map(_ => vocab(r.nextInt(vocab.length))).mkString(" ")
+      val grams = (0 until r.nextInt(4)).map { _ =>
+        (0 until 3).map(_ => vocab(r.nextInt(vocab.length - 1))).mkString(" ")
+      }.toSet
+      val (clean, removed) = exciseGrams(text, grams, 3)
+      val inToks = text.split(" ").count(_.nonEmpty)
+      val outToks = clean.split(" ").count(_.nonEmpty)
+      // conservation: removed + survivors == input tokens
+      assert(outToks + removed == inToks, s"'$text' vs '$clean' rm=$removed")
+      // determinism
+      assert(exciseGrams(text, grams, 3) == ((clean, removed)))
+      // single-pass contract: re-application is legal and monotone
+      // (only ever removes more, never grows the text)
+      val (clean2, removed2) = exciseGrams(clean, grams, 3)
+      assert(clean2.length <= clean.length && removed2 >= 0)
+    }
+  }
 }
