@@ -2276,6 +2276,29 @@ object SparkEntry {
         .orderBy("cohort")
     }),
 
+    "q75_salted_distinct" -> ((s, dir) => {
+      // Skew-safe EXACT distinct counting — the published two-phase
+      // rewrite: salt by a hash OF THE COUNTED VALUE (each distinct
+      // word lands in exactly one salt bucket, so per-bucket distinct
+      // counts SUM to the true total — lossless, unlike row-salting),
+      // partial countDistinct per (lang, salt), then a tiny per-lang
+      // sum. Why it matters at 100 TB: naive COUNT(DISTINCT) ships a
+      // hot language's ENTIRE word set to one reducer (the q32
+      // bounded-key hazard in aggregate form); here the hot key splits
+      // 16 ways and phase 2 merges 16 longs. The oracle computes the
+      // single-phase truth — equality proves the rewrite lossless.
+      t(s, dir, "documents")
+        .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "")
+        .withColumn("salt", pmod(xxhash64(col("w")), lit(16)))
+        .groupBy(col("lang"), col("salt"))
+        .agg(count(lit(1)).as("pn"), countDistinct(col("w")).as("pd"))
+        .groupBy(col("lang"))
+        .agg(sum(col("pn")).as("n_words"),
+          sum(col("pd")).as("n_distinct"))
+        .orderBy("lang")
+    }),
+
     // ---- extraction pipeline (rows-only: not SQL-expressible) ----
     "x01_extract_plain" -> ((s, _) => {
       val (pagesDir, _) = microTables(s)
@@ -4374,5 +4397,16 @@ object SparkEntry {
         |LEFT JOIN s2 ON au.u = s2.u
         |LEFT JOIN s3 ON au.u = s3.u
         |GROUP BY cohort ORDER BY cohort""".stripMargin,
+    // q75: the oracle is the SINGLE-phase truth (plain COUNT DISTINCT,
+    // no salt) — equality proves the two-phase salted rewrite lossless.
+    // The salt uses Spark's xxhash64, which DuckDB cannot compute, and
+    // does not need to: every salt-invariant output column is checked.
+    "q75_salted_distinct" ->
+      """WITH w AS (
+        |  SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents),
+        |f AS (SELECT lang, w FROM w WHERE w <> '')
+        |SELECT lang, count(*) AS n_words,
+        |  CAST(count(DISTINCT w) AS BIGINT) AS n_distinct
+        |FROM f GROUP BY lang ORDER BY lang""".stripMargin,
   )
 }
