@@ -848,8 +848,19 @@ object SparkEntry {
           .select((col("doc_id") + plantOff).cast("long").as("doc_id"),
             lit("planted").as("lang"), substring(col("text"), 1, 120).as("text")))
       val toks = split(col("text"), " ")
+      // The window KEY is xxhash64 of the 8-token slice, not the
+      // concatenated string (VERDICT r4 #3): the key is shuffled twice
+      // (shared-count agg + join-back), and 8 bytes vs the ~50-80-byte
+      // window text is most of this query's cost — Lee et al. hash at
+      // exactly this point. Collision bound: 64-bit keys over W distinct
+      // windows collide with p ≈ W²/2⁶⁵ (~3·10⁻⁸ at W=10⁹ windows per
+      // shard), and a collision only perturbs one window's shared-count
+      // — acceptable for a dedup MARKING pass. Hashing the token array
+      // directly also skips materializing the window string entirely
+      // (tokens are split on the space byte, so no two distinct windows
+      // alias under re-joining).
       val wins = transform(sequence(lit(1), size(toks) - 7),
-        i => concat_ws(" ", slice(toks, i, lit(8))))
+        i => xxhash64(slice(toks, i, lit(8))))
       val docWins = d.filter(size(toks) >= 8)
         .select(col("doc_id"), col("lang"), explode(array_distinct(wins)).as("w"))
       // agg + join-back rather than count-over-window on w: boilerplate

@@ -54,6 +54,14 @@ object AsofJoin extends Serializable {
         s"input already has ${clash.mkString(", ")} — pass a different " +
         "asofCol (both outputs derive from it)")
     val payloadCols = right.columns.filter(c => c != keyCol && c != tsCol)
+    // an empty payload would make asofCol a zero-field struct (fragile
+    // across Spark versions, useless downstream) — the matched timestamp
+    // alone is already available as <asofCol>_ts, so a payload-less
+    // right side is almost certainly a caller mistake (ADVICE r4)
+    require(payloadCols.nonEmpty,
+      s"asofJoin right side has no payload columns beyond ($keyCol, $tsCol); " +
+        "add the columns to look up — the matched timestamp alone is " +
+        s"emitted as $tsOut")
     val l = left.withColumn("__side", lit(1))
       .withColumn("__rv", lit(null).cast(
         org.apache.spark.sql.types.StructType(

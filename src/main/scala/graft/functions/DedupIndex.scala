@@ -1,7 +1,6 @@
 package graft.functions
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Persisted near-dup index with DELTA probing — the production dedup
@@ -38,10 +37,9 @@ import org.apache.spark.sql.functions._
   */
 object DedupIndex extends Serializable {
 
-  private def withRep(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id").cast("long").as("doc_id"), col("text"))
-      .withColumn("h", md5(col("text").cast("binary")))
-      .withColumn("rep_id", min(col("doc_id")).over(Window.partitionBy("h")))
+  // agg + join-back, never a window over the content hash — see
+  // TextSketch.withRep for the mega-key reasoning (VERDICT r4 #1)
+  private def withRep(docs: DataFrame): DataFrame = TextSketch.withRep(docs)
 
   private def bandRows(uniqueDocs: DataFrame): DataFrame = {
     val spark = uniqueDocs.sparkSession
@@ -65,15 +63,18 @@ object DedupIndex extends Serializable {
     (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
   }
 
-  private def manifestPath(dir: String) =
-    java.nio.file.Paths.get(s"$dir/MANIFEST")
+  // manifest I/O goes through the Hadoop FS of `dir` (graft.util.FsText)
+  // so the index can live on HDFS/S3 alongside its parquet (ADVICE r4)
+  private def hconf(spark: SparkSession) =
+    spark.sparkContext.hadoopConfiguration
 
-  private def writeManifest(dir: String, rows: Long, fp: Long): Unit =
-    java.nio.file.Files.writeString(manifestPath(dir),
+  private def writeManifest(spark: SparkSession, dir: String, rows: Long,
+      fp: Long): Unit =
+    graft.util.FsText.write(hconf(spark), s"$dir/MANIFEST",
       s"""{"rows":$rows,"fingerprint":$fp,"bands":${TextSketch.Bands},"minhashK":${TextSketch.MinHashK}}""")
 
-  private def readManifest(dir: String): (Long, Long) = {
-    val txt = java.nio.file.Files.readString(manifestPath(dir))
+  private def readManifest(spark: SparkSession, dir: String): (Long, Long) = {
+    val txt = graft.util.FsText.read(hconf(spark), s"$dir/MANIFEST")
     val rows = "\"rows\":(-?\\d+)".r.findFirstMatchIn(txt).get.group(1).toLong
     val fp = "\"fingerprint\":(-?\\d+)".r.findFirstMatchIn(txt).get.group(1).toLong
     (rows, fp)
@@ -82,23 +83,26 @@ object DedupIndex extends Serializable {
   /** True iff the index at `dir` was built from exactly this corpus
     * (same rows, same order-independent content fingerprint). */
   def isCurrent(dir: String, docs: DataFrame): Boolean =
-    java.nio.file.Files.exists(manifestPath(dir)) && {
+    graft.util.FsText.exists(hconf(docs.sparkSession), s"$dir/MANIFEST") && {
       val (rows, fp) = fingerprint(
         docs.select(col("doc_id").cast("long").as("doc_id"), col("text")))
-      readManifest(dir) == ((rows, fp))
+      readManifest(docs.sparkSession, dir) == ((rows, fp))
     }
 
   /** Build the index from the full corpus (doc_id, text). */
   def build(docs: DataFrame, dir: String): Unit = {
     val reps = withRep(docs)
-    reps.groupBy(col("h")).agg(min(col("doc_id")).as("rep_id"))
+    // one row per distinct h, map-only off withRep's join (the rep row
+    // is the one whose doc_id IS the rep)
+    reps.filter(col("doc_id") === col("rep_id"))
+      .select(col("h"), col("rep_id"))
       .withColumn("hb", conv(substring(col("h"), 1, 2), 16, 10).cast("int"))
       .write.mode("overwrite").partitionBy("hb").parquet(s"$dir/hashes")
     bandRows(reps.filter(col("doc_id") === col("rep_id"))
         .select(col("doc_id"), col("text")))
       .write.mode("overwrite").partitionBy("kb").parquet(s"$dir/bands")
     val (n, fp) = fingerprint(reps)
-    writeManifest(dir, n, fp)
+    writeManifest(docs.sparkSession, dir, n, fp)
   }
 
   /** Ingest a delta into the index so the NEXT probe sees it: new
@@ -120,9 +124,9 @@ object DedupIndex extends Serializable {
         .write.mode("append").partitionBy("hb").parquet(s"$dir/hashes")
       bandRows(fresh.select(col("doc_id"), col("text")))
         .write.mode("append").partitionBy("kb").parquet(s"$dir/bands")
-      val (oldN, oldFp) = readManifest(dir)
+      val (oldN, oldFp) = readManifest(spark, dir)
       val (dn, dfp) = fingerprint(reps)
-      writeManifest(dir, oldN + dn, oldFp ^ dfp)
+      writeManifest(spark, dir, oldN + dn, oldFp ^ dfp)
     } finally reps.unpersist()
   }
 

@@ -76,10 +76,17 @@ object HammingNearDup extends Serializable {
       s"block layout guarantees completeness only to distance 3; got $maxDist")
     val spark = df.sparkSession
     import spark.implicits._
+    // fail fast on null id/sig with a diagnostic instead of the opaque
+    // encoder NPE a primitive-tuple .as[] would throw (ADVICE r4) —
+    // matching the asofJoin collision guard / CountMin range guard style
     val keyed = df.select(col(idCol).cast("long"), col(sigCol).cast("long"))
-      .as[(Long, Long)]
+      .as[(java.lang.Long, java.lang.Long)]
       .flatMap { case (id, sig) =>
-        candidateKeys(sig).iterator.map(k => (k, id, sig))
+        require(id != null && sig != null,
+          s"HammingNearDup.pairs: null $idCol/$sigCol row (id=$id, sig=$sig) — " +
+            "ids and signatures must be non-null")
+        candidateKeys(sig.longValue).iterator
+          .map(k => (k, id.longValue, sig.longValue))
       }
       .toDF("key", "id", "sig")
     val a = keyed.select(col("key"), col("id").as("a_id"), col("sig").as("a_sig"))

@@ -95,18 +95,18 @@ object IvfIndex {
     // current input — row count AND content fingerprint AND the build
     // params that shape the index (an index dir surviving an in-place
     // input change would otherwise serve stale neighbors silently)
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/MANIFEST"),
-      manifestJson(manifestStats(emb), nCells, iters))
+    graft.util.FsText.write(spark.sparkContext.hadoopConfiguration,
+      s"$dir/MANIFEST", manifestJson(manifestStats(emb), nCells, iters))
   }
 
   /** True when a usable index exists at `dir` AND its manifest matches
     * the given input (row count + content fingerprint + build params). */
   def isCurrent(spark: SparkSession, dir: String, emb: DataFrame,
       nCells: Int = 16, iters: Int = 2): Boolean = {
-    val m = java.nio.file.Paths.get(s"$dir/MANIFEST")
-    java.nio.file.Files.exists(m) && {
-      val txt = java.nio.file.Files.readString(m)
-      txt == manifestJson(manifestStats(emb), nCells, iters)
+    val hc = spark.sparkContext.hadoopConfiguration
+    graft.util.FsText.exists(hc, s"$dir/MANIFEST") && {
+      graft.util.FsText.read(hc, s"$dir/MANIFEST") ==
+        manifestJson(manifestStats(emb), nCells, iters)
     }
   }
 
@@ -166,8 +166,8 @@ object IvfIndex {
       (nearest(cs, v), id, PqSketch.encodeOne(v, bcCb.value))
     }.toDF("cell", "vec_id", "codes")
       .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/codes")
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/MANIFEST_PQ"),
-      manifestJson(manifestStats(emb), nCells, iters) +
+    graft.util.FsText.write(spark.sparkContext.hadoopConfiguration,
+      s"$dir/MANIFEST_PQ", manifestJson(manifestStats(emb), nCells, iters) +
         s"""|{"m":$m,"kCodes":$kCodes,"pqIters":$pqIters}""")
   }
 
@@ -175,9 +175,9 @@ object IvfIndex {
   def isCurrentCoded(spark: SparkSession, dir: String, emb: DataFrame,
       nCells: Int = 16, m: Int = 16, kCodes: Int = 16,
       iters: Int = 2, pqIters: Int = 4): Boolean = {
-    val p = java.nio.file.Paths.get(s"$dir/MANIFEST_PQ")
-    java.nio.file.Files.exists(p) && {
-      java.nio.file.Files.readString(p) ==
+    val hc = spark.sparkContext.hadoopConfiguration
+    graft.util.FsText.exists(hc, s"$dir/MANIFEST_PQ") && {
+      graft.util.FsText.read(hc, s"$dir/MANIFEST_PQ") ==
         manifestJson(manifestStats(emb), nCells, iters) +
           s"""|{"m":$m,"kCodes":$kCodes,"pqIters":$pqIters}"""
     }

@@ -85,12 +85,18 @@ object PostingsIndex {
   private def manifestJson(rows: Long, fp: Long, nBuckets: Int): String =
     s"""{"rows":$rows,"fingerprint":$fp,"nBuckets":$nBuckets,"layout":2}"""
 
-  private def writeText(path: String, txt: String): Unit =
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(path), txt)
+  // manifest/segment-counter I/O goes through the Hadoop FS of `dir`
+  // (graft.util.FsText) so the index can live on HDFS/S3 alongside its
+  // parquet (ADVICE r4)
+  private def hconf(spark: SparkSession) =
+    spark.sparkContext.hadoopConfiguration
 
-  private def readLong(dir: String, file: String, key: String): Long = {
-    val txt = java.nio.file.Files.readString(
-      java.nio.file.Paths.get(s"$dir/$file"))
+  private def writeText(spark: SparkSession, path: String, txt: String): Unit =
+    graft.util.FsText.write(hconf(spark), path, txt)
+
+  private def readLong(spark: SparkSession, dir: String, file: String,
+      key: String): Long = {
+    val txt = graft.util.FsText.read(hconf(spark), s"$dir/$file")
     (s""""$key":(-?\\d+)""").r.findFirstMatchIn(txt) match {
       case Some(m) => m.group(1).toLong
       case None => throw new IllegalStateException(
@@ -130,8 +136,8 @@ object PostingsIndex {
       .parquet(s"$dir/postings/seg=0")
     val (rows, fp, dl) = corpusStats(docs)
     writeStatsSeg(spark, dir, 0, rows, dl)
-    writeText(s"$dir/MANIFEST", manifestJson(rows, fp, nBuckets))
-    writeText(s"$dir/SEGS", """{"segs":1}""")
+    writeText(spark, s"$dir/MANIFEST", manifestJson(rows, fp, nBuckets))
+    writeText(spark, s"$dir/SEGS", """{"segs":1}""")
   }
 
   /** Apply a snapshot delta WITHOUT a rebuild. `oldDocs` = the
@@ -145,8 +151,8 @@ object PostingsIndex {
     * the DELTA, never the corpus. */
   def upsert(dir: String, oldDocs: DataFrame, newDocs: DataFrame): Unit = {
     val spark = oldDocs.sparkSession
-    val nb = readLong(dir, "MANIFEST", "nBuckets").toInt
-    val seg = readLong(dir, "SEGS", "segs").toInt
+    val nb = readLong(spark, dir, "MANIFEST", "nBuckets").toInt
+    val seg = readLong(spark, dir, "SEGS", "segs").toInt
     val (nOld, fpOld, dlOld) = corpusStats(oldDocs)
     val (nNew, fpNew, dlNew) = corpusStats(newDocs)
     termFreqs(newDocs).withColumn("bucket", bucketOf(col("term"), nb))
@@ -155,10 +161,10 @@ object PostingsIndex {
     oldDocs.select(col("doc_id").cast("long").as("doc_id")).distinct()
       .write.mode("overwrite").parquet(s"$dir/tombstones/seg=$seg")
     writeStatsSeg(spark, dir, seg, nNew - nOld, dlNew - dlOld)
-    val rows = readLong(dir, "MANIFEST", "rows") + nNew - nOld
-    val fp = readLong(dir, "MANIFEST", "fingerprint") ^ fpOld ^ fpNew
-    writeText(s"$dir/MANIFEST", manifestJson(rows, fp, nb))
-    writeText(s"$dir/SEGS", s"""{"segs":${seg + 1}}""")
+    val rows = readLong(spark, dir, "MANIFEST", "rows") + nNew - nOld
+    val fp = readLong(spark, dir, "MANIFEST", "fingerprint") ^ fpOld ^ fpNew
+    writeText(spark, s"$dir/MANIFEST", manifestJson(rows, fp, nb))
+    writeText(spark, s"$dir/SEGS", s"""{"segs":${seg + 1}}""")
   }
 
   /** Merge all segments back into one — the Lucene compaction step that
@@ -172,7 +178,7 @@ object PostingsIndex {
     * full read + write of the live postings — amortize over many
     * upserts, exactly like Lucene merges. */
   def compact(spark: SparkSession, dir: String): Unit = {
-    val nb = readLong(dir, "MANIFEST", "nBuckets").toInt
+    val nb = readLong(spark, dir, "MANIFEST", "nBuckets").toInt
     val tot = spark.read.parquet(s"$dir/stats")
       .agg(coalesce(sum(col("n_docs_delta")), lit(0L)).as("n"),
         coalesce(sum(col("sum_dl_delta")), lit(0L)).as("dl")).head()
@@ -193,7 +199,7 @@ object PostingsIndex {
     fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/postings"))
     fs.rename(tmp, new org.apache.hadoop.fs.Path(s"$dir/postings/seg=0"))
     writeStatsSeg(spark, dir, 0, totN, totDl)
-    writeText(s"$dir/SEGS", """{"segs":1}""")
+    writeText(spark, s"$dir/SEGS", """{"segs":1}""")
   }
 
   /** Kill postings of docs rewritten in LATER segments (a tombstone at
@@ -201,8 +207,8 @@ object PostingsIndex {
     * [[compact]]. */
   private def applyTombstones(spark: SparkSession, dir: String,
       post: DataFrame): DataFrame = {
-    val tombDir = java.nio.file.Paths.get(s"$dir/tombstones")
-    if (!java.nio.file.Files.exists(tombDir)) return post
+    if (!graft.util.FsText.exists(hconf(spark), s"$dir/tombstones"))
+      return post
     val tombs = spark.read.parquet(s"$dir/tombstones")
       .select(col("doc_id").as("t_doc_id"), col("seg").as("t_seg"))
     post.join(broadcast(tombs),
@@ -216,10 +222,10 @@ object PostingsIndex {
     * [[upsert]]s. */
   def isCurrent(spark: SparkSession, dir: String, docs: DataFrame,
       nBuckets: Int = 32): Boolean = {
-    val m = java.nio.file.Paths.get(s"$dir/MANIFEST")
-    java.nio.file.Files.exists(m) && {
+    graft.util.FsText.exists(hconf(spark), s"$dir/MANIFEST") && {
       val (rows, fp, _) = corpusStats(docs)
-      java.nio.file.Files.readString(m) == manifestJson(rows, fp, nBuckets)
+      graft.util.FsText.read(hconf(spark), s"$dir/MANIFEST") ==
+        manifestJson(rows, fp, nBuckets)
     }
   }
 
@@ -236,8 +242,8 @@ object PostingsIndex {
     * produced under. */
   def query(spark: SparkSession, dir: String, queryTerms: DataFrame,
       k: Int = 5): DataFrame = {
-    val nb = readLong(dir, "MANIFEST", "nBuckets").toInt
-    val nSegs = readLong(dir, "SEGS", "segs").toInt
+    val nb = readLong(spark, dir, "MANIFEST", "nBuckets").toInt
+    val nSegs = readLong(spark, dir, "SEGS", "segs").toInt
     val qt = queryTerms.select(col("query_id").cast("long").as("query_id"),
         col("term"), col("tidx").cast("int").as("tidx"))
       .withColumn("bucket", bucketOf(col("term"), nb))

@@ -180,8 +180,9 @@ object TextSketch extends Serializable {
     *
     * Degenerate-bucket guards (VERDICT r1 #5): crawl corpora carry
     * mass-duplicated boilerplate, so (a) exact duplicates are collapsed
-    * to a min-id representative FIRST (a window min over the content
-    * hash — one shuffle, no self-join) and reported as linear
+    * to a min-id representative FIRST ([[withRep]]: partial-aggregated
+    * `groupBy(h).agg(min)` + join-back — NOT a window over `h`, see
+    * there) and reported as linear
     * (rep, member) pairs at jaccard 100 — they never enter LSH; (b) a
     * bucket that exceeds `maxBucket` rows (templated near-dups) emits
     * star pairs against the bucket's GLOBAL min-id hub. Buckets arrive
@@ -191,14 +192,36 @@ object TextSketch extends Serializable {
     * hub-star with O(maxBucket) task memory, deterministic under any
     * input partitioning. The hub still chains the bucket into one
     * connected component for downstream clustering. */
+  /** (doc_id, text, h, rep_id): every row tagged with its exact-dup
+    * representative — the min doc_id sharing its md5 content hash.
+    * Shared by [[lshCandidatePairs]] and [[DedupIndex]], so the
+    * full-corpus and delta-probe paths cannot drift.
+    *
+    * Deliberately `groupBy("h").agg(min)` + join-back, NOT
+    * `min().over(Window.partitionBy("h"))` (VERDICT r4 #1): at crawl
+    * scale the hottest content hash (a parked-domain template or an
+    * empty page duplicated 10^8 times) is a mega-key. A window must
+    * buffer that whole key in ONE task — and AQE can split a skewed
+    * equi-join partition but can never split a window — while the
+    * aggregate absorbs the mega-key map-side (partial agg) and the
+    * join-back is a plain equi-join AQE skew-join CAN split. Costs one
+    * extra pass over the input lineage vs the window form; that is the
+    * right trade at 100 TB, and callers that probe twice persist the
+    * result anyway. */
+  private[functions] def withRep(docs: DataFrame): DataFrame = {
+    val hashed = docs
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      .withColumn("h", md5(col("text").cast("binary")))
+    hashed.join(
+      hashed.groupBy(col("h")).agg(min(col("doc_id")).as("rep_id")),
+      Seq("h"))
+  }
+
   def lshCandidatePairs(docs: DataFrame, minJaccardX100: Int = 50,
       maxBucket: Int = 1024): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val byHash = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
-    val withRep = docs.select(col("doc_id").cast("long").as("doc_id"), col("text"))
-      .withColumn("h", md5(col("text").cast("binary")))
-      .withColumn("rep_id", min(col("doc_id")).over(byHash))
+    val withRep = TextSketch.withRep(docs)
     val exactPairs = withRep.filter(col("doc_id") =!= col("rep_id"))
       .select(col("rep_id").as("doc_a"), col("doc_id").as("doc_b"),
         lit(1.0).as("est_jaccard"))

@@ -23,10 +23,13 @@ import org.apache.spark.sql.types.LongType
   * is a PLAN rewrite, not a scalar.
   *
   * Correctness guards:
-  *  - fires ONLY on a resolved inner join whose condition is EXACTLY
-  *    `x >= lo AND x < hi` with long-typed attributes, x from one side
-  *    and lo/hi from the other (either orientation) — the rewritten
-  *    condition has a different shape, so the rule cannot re-fire;
+  *  - fires ONLY on a resolved inner join whose condition is the
+  *    two-conjunct half-open containment `x >= lo AND x < hi` with
+  *    long-typed attributes, x from one side and lo/hi from the other
+  *    (either orientation). All equivalent spellings canonicalize
+  *    before matching (`lo <= x`, `hi > x`, either conjunct order) —
+  *    the rewritten condition has a different shape (an EqualTo
+  *    conjunct wrapping the original And), so the rule cannot re-fire;
   *  - a `hi > lo` filter precedes the explode: such rows can never
   *    match the original predicate, and `sequence()` would reject a
   *    descending span;
@@ -64,19 +67,43 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
   private case class Shape(x: Attribute, lo: Attribute, hi: Attribute,
                            probeLeft: Boolean)
 
+  // Semantically identical spellings must all fire (ADVICE r4: matching
+  // only the literal `x >= lo AND x < hi` left `lo <= x`, `hi > x`, and
+  // swapped-conjunct forms silently on the nested-loop plan — the same
+  // silent perf cliff the width-validation error exists to prevent).
+  // Each conjunct canonicalizes to "x >= lo" / "x < hi" regardless of
+  // operand order; the two conjuncts are tried in both orders.
+  private def asGeq(e: Expression): Option[(Attribute, Attribute)] = e match {
+    case GreaterThanOrEqual(x: Attribute, lo: Attribute) => Some((x, lo))
+    case LessThanOrEqual(lo: Attribute, x: Attribute) => Some((x, lo))
+    case _ => None
+  }
+
+  private def asLt(e: Expression): Option[(Attribute, Attribute)] = e match {
+    case LessThan(x: Attribute, hi: Attribute) => Some((x, hi))
+    case GreaterThan(hi: Attribute, x: Attribute) => Some((x, hi))
+    case _ => None
+  }
+
   private def shape(cond: Expression, left: LogicalPlan,
                     right: LogicalPlan): Option[Shape] = cond match {
-    case And(GreaterThanOrEqual(x: Attribute, lo: Attribute),
-             LessThan(x2: Attribute, hi: Attribute))
-        if x.semanticEquals(x2) &&
-          Seq(x, lo, hi).forall(_.dataType == LongType) =>
-      if (left.outputSet.contains(x) &&
-          right.outputSet.contains(lo) && right.outputSet.contains(hi))
-        Some(Shape(x, lo, hi, probeLeft = true))
-      else if (right.outputSet.contains(x) &&
-          left.outputSet.contains(lo) && left.outputSet.contains(hi))
-        Some(Shape(x, lo, hi, probeLeft = false))
-      else None
+    case And(c1, c2) =>
+      Seq((c1, c2), (c2, c1)).view.flatMap { case (g, lt) =>
+        for {
+          (x, lo) <- asGeq(g)
+          (x2, hi) <- asLt(lt)
+          if x.semanticEquals(x2) &&
+            Seq(x, lo, hi).forall(_.dataType == LongType)
+          s <-
+            if (left.outputSet.contains(x) &&
+                right.outputSet.contains(lo) && right.outputSet.contains(hi))
+              Some(Shape(x, lo, hi, probeLeft = true))
+            else if (right.outputSet.contains(x) &&
+                left.outputSet.contains(lo) && left.outputSet.contains(hi))
+              Some(Shape(x, lo, hi, probeLeft = false))
+            else None
+        } yield s
+      }.headOption
     case _ => None
   }
 

@@ -79,6 +79,20 @@ class HammingNearDupSpec extends AnyFunSuite {
     assert(got.isEmpty)
   }
 
+  test("null id/sig rows fail fast with a diagnostic (ADVICE r4)") {
+    import spark.implicits._
+    val rows: Seq[(java.lang.Long, java.lang.Long)] =
+      Seq((java.lang.Long.valueOf(1L), java.lang.Long.valueOf(7L)),
+        (java.lang.Long.valueOf(2L), null))
+    val df = rows.toDF("id", "sig")
+    val ex = intercept[org.apache.spark.SparkException] {
+      HammingNearDup.pairs(df, "id", "sig", 3).collect()
+    }
+    // the require message, not an opaque encoder NPE
+    assert(Option(ex.getCause).map(_.getMessage).getOrElse(ex.getMessage)
+      .contains("non-null"))
+  }
+
   test("candidateKeys: 20 combos, non-negative, distance-3 pair shares a key") {
     val a = 0x7edcba9876543210L
     val b = a ^ (1L << 2) ^ (1L << 20) ^ (1L << 63) // 3 flips in 3 blocks

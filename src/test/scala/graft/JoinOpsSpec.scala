@@ -96,6 +96,16 @@ class JoinOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("asofJoin: payload-less right side fails fast (ADVICE r4)") {
+    import spark.implicits._
+    val l = Seq((1L, 5L, 10L)).toDF("event_id", "k", "ts")
+    val bare = Seq((5L, 8L)).toDF("k", "ts") // nothing to look up
+    val ex = intercept[IllegalArgumentException] {
+      AsofJoin.asofJoin(l, bare, "k", "ts")
+    }
+    assert(ex.getMessage.contains("payload"))
+  }
+
   // ---- RangeJoin ----
 
   test("rangeJoin == naive theta join under overlapping ranges, any bucket width") {

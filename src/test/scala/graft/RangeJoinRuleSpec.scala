@@ -110,6 +110,27 @@ class RangeJoinRuleSpec extends AnyFunSuite {
     }
   }
 
+  test("equivalent spellings canonicalize and fire (ADVICE r4)") {
+    val want = results(probe.join(ranges,
+      probe("x") >= ranges("lo") && probe("x") < ranges("hi")))
+    withRule {
+      // lo <= x / hi > x operand orders, and the conjuncts swapped —
+      // all four must leave the nested-loop plan, with identical rows
+      val spellings = Seq(
+        ranges("lo") <= probe("x") && probe("x") < ranges("hi"),
+        probe("x") >= ranges("lo") && ranges("hi") > probe("x"),
+        probe("x") < ranges("hi") && probe("x") >= ranges("lo"),
+        ranges("hi") > probe("x") && ranges("lo") <= probe("x"))
+      spellings.zipWithIndex.foreach { case (cond, i) =>
+        val q = probe.join(ranges, cond)
+        val plan = q.queryExecution.executedPlan.toString
+        assert(!plan.contains("NestedLoop"),
+          s"spelling $i did not fire:\n$plan")
+        assert(results(q) == want, s"spelling $i changed results")
+      }
+    }
+  }
+
   test("does not fire on an inclusive upper bound") {
     withRule {
       val q = probe.join(ranges,
