@@ -56,7 +56,9 @@ object Bench {
     "q41_boilerplate_lines", "q44_bm25_topk", "q47_paragraph_dedup",
     "q49_lm_bucket",
     // round 4 operator families
-    "q64_simhash_hamming", "q67_countmin_sketch", "q68_asof_join")
+    "q64_simhash_hamming", "q67_countmin_sketch", "q68_asof_join",
+    // round 5 operator families
+    "q74_event_funnel", "q76_pagerank")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1973,21 +1973,13 @@ object SparkEntry {
       // task input is bounded by 64 whatever the host's size. The
       // price is bin-granular quantiles — the standard histogram-
       // sketch tradeoff (memory O(bins), error one bin).
-      val hist = t(s, dir, "documents")
-        .select(col("source").as("host"), col("n_chars").cast("long").as("n_chars"))
-        .withColumn("bin", length(bin(col("n_chars"))).cast("long"))
-        .groupBy(col("host"), col("bin"))
-        .agg(count(lit(1)).as("cnt"))
-      val w = Window.partitionBy("host").orderBy("bin")
-      hist
-        .withColumn("cum", sum(col("cnt")).over(w))
-        .withColumn("n", sum(col("cnt")).over(Window.partitionBy("host")))
-        .groupBy(col("host"))
-        .agg(max(col("n")).as("n_docs"),
-          count(lit(1)).as("n_bins"),
-          min(when(col("cum") * 2 >= col("n"), col("bin"))).as("p50_bin"),
-          min(when(col("cum") * 10 >= col("n") * 9, col("bin"))).as("p90_bin"),
-          max(col("bin")).as("max_bin"))
+      // runs on the reusable functions/HistogramSketch operator
+      // (VERDICT r4 optional #8); this oracle pins it cross-engine
+      import graft.functions.HistogramSketch
+      val d = t(s, dir, "documents")
+        .select(col("source").as("host"), col("n_chars"))
+      HistogramSketch.quantileSummary(
+          HistogramSketch.build(d, "n_chars", Seq("host")), Seq("host"))
         .orderBy("host")
     }),
 
@@ -2004,6 +1996,13 @@ object SparkEntry {
       // ~billions at 100 TB). The exact count rides along as the
       // audit column (test-scale only); err_mills pins the
       // estimator's accuracy in integer mills.
+      // Mergeable multi-slice form: because the sample is the SET
+      // {w : md5(w) < t}, per-ingest samples union losslessly (same
+      // property as q65's histogram rows), and variance tunes by
+      // moving the threshold t — k/64, k/256, … — without changing
+      // the estimator shape; distributed slices taken under DIFFERENT
+      // thresholds merge by re-filtering to the tightest t before the
+      // union (KMV's standard merge rule).
       val sampled = countDistinct(when(col("h") < "04", col("w")))
       t(s, dir, "documents")
         .select(col("lang"), explode(split(col("text"), " ")).as("w"))
@@ -2112,19 +2111,15 @@ object SparkEntry {
       // back, shard assignment is map-only — no doc-level window, no
       // sample pass. Shard sizes are bin-granular (the histogram-
       // sketch tradeoff, same as q65).
+      // boundaries come from the reusable HistogramSketch operator
+      // (global histogram + shardBounds); assignment stays map-only
+      import graft.functions.HistogramSketch
       val d = t(s, dir, "documents")
         .select(col("doc_id").cast("long").as("doc_id"),
           col("n_chars").cast("long").as("n_chars"))
-        .withColumn("bin", length(bin(col("n_chars"))).cast("long"))
-      val hist = d.groupBy(col("bin")).agg(count(lit(1)).as("cnt"))
-      val cum = hist
-        .withColumn("cum", sum(col("cnt")).over(Window.orderBy("bin")))
-        .withColumn("n", sum(col("cnt")).over(
-          Window.partitionBy(lit(1))))
-      val svals = s.range(1, 8).toDF("s")
-      val bounds = cum.crossJoin(svals)
-        .filter(col("cum") * 8 >= col("s") * col("n"))
-        .groupBy(col("s")).agg(min(col("bin")).as("b"))
+        .withColumn("bin", HistogramSketch.binOf(col("n_chars")))
+      val bounds = HistogramSketch.shardBounds(
+        HistogramSketch.build(d, "n_chars", Nil), 8)
       d.crossJoin(broadcast(bounds))
         .groupBy(col("doc_id"), col("bin"))
         .agg(sum(when(col("b") < col("bin"), 1L).otherwise(0L)).as("shard"))
@@ -2260,30 +2255,29 @@ object SparkEntry {
       // DIFFERENT algorithm — a 3-pass join cascade — so agreement
       // checks the semantics, not a restatement. Millis via the
       // q39 unix_millis/epoch_ms parity idiom.
-      val per = t(s, dir, "events")
-        .select(col("user_id").cast("long").as("u"),
+      // Runs on the reusable operator (functions/Funnel, VERDICT r4
+      // #5); FunnelSpec pins matchStages against an independent local
+      // walk, and this oracle pins the 3-stage instance cross-engine.
+      // Conversion window: each stage must follow the previous within
+      // 6 hours, so the no-match (drop-off) path is genuinely
+      // exercised — without the bound this corpus converts everyone.
+      import graft.functions.Funnel
+      val win = Some(21600000L)
+      val per = Funnel.matchStages(
+        t(s, dir, "events").select(col("user_id").cast("long").as("u"),
           unix_millis(col("ts").cast("timestamp")).as("tsm"),
-          col("event_type").as("ty"))
-        .groupBy(col("u"))
-        .agg(collect_list(struct(col("tsm"), col("ty"))).as("es"))
-        // conversion window: each stage must follow the previous within
-        // 6 hours, so the no-match (drop-off) path is genuinely
-        // exercised — without the bound this corpus converts everyone
-        .withColumn("t1", expr(
-          "array_min(transform(filter(es, e -> e.ty = 'view'), e -> e.tsm))"))
-        .withColumn("t2", expr(
-          "array_min(transform(filter(es, e -> e.ty = 'click' " +
-            "AND e.tsm >= t1 AND e.tsm <= t1 + 21600000), e -> e.tsm))"))
-        .withColumn("t3", expr(
-          "array_min(transform(filter(es, e -> e.ty = 'purchase' " +
-            "AND e.tsm >= t2 AND e.tsm <= t2 + 21600000), e -> e.tsm))"))
+          col("event_type")),
+        Seq(Funnel.Stage("view", "view"),
+          Funnel.Stage("click", "click", win),
+          Funnel.Stage("purchase", "purchase", win)),
+        keyCol = "u", tsCol = "tsm", typeCol = "event_type")
       per.groupBy((col("u") % 5).as("cohort"))
         .agg(count(lit(1)).as("n_users"),
-          count(col("t1")).as("n_viewed"),
-          count(col("t2")).as("n_clicked"),
-          count(col("t3")).as("n_purchased"),
-          coalesce(sum(col("t3") - col("t1")), lit(0L)).as("sum_funnel_ms"),
-          coalesce(max(col("t3") - col("t1")), lit(-1L)).as("max_funnel_ms"))
+          count(col("t_view")).as("n_viewed"),
+          count(col("t_click")).as("n_clicked"),
+          count(col("t_purchase")).as("n_purchased"),
+          coalesce(sum(col("t_purchase") - col("t_view")), lit(0L)).as("sum_funnel_ms"),
+          coalesce(max(col("t_purchase") - col("t_view")), lit(-1L)).as("max_funnel_ms"))
         .orderBy("cohort")
     }),
 
@@ -2308,6 +2302,36 @@ object SparkEntry {
         .agg(sum(col("pn")).as("n_words"),
           sum(col("pd")).as("n_distinct"))
         .orderBy("lang")
+    }),
+
+    "q76_pagerank" -> ((s, dir) => {
+      // PageRank gains a VALUE oracle (VERDICT r4 #4): x23 pins the
+      // distributed iteration bit-exact against pageRankLocal, but
+      // its host graph derives from the extraction kernel (not
+      // SQL-expressible). Here the SAME HostRank.pageRank runs over a
+      // deterministic SQL-expressible graph on documents (hosts =
+      // source values plus linkless 'ext' sinks, so the dangling-mass
+      // path is non-vacuous; fractional weights k/3 exercise the 1e-9
+      // entry quantization), and DuckDB unrolls the identical
+      // fixed-point iteration (5 hops) as chained CTEs — every shuffled
+      // sum is over quantized longs, and the remaining double ops are
+      // IEEE-identical with literals CAST to DOUBLE (DuckDB would
+      // otherwise do DECIMAL arithmetic: 1.0-0.85 is 0.15 in decimal
+      // but 0.15000000000000002 in binary). Output ranks quantized to
+      // 1e-12 units so the compare is integer-exact.
+      val d = t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"), col("source"))
+      val mainE = d.select(col("source").as("src"),
+        concat(lit("src"), ((col("doc_id") * 7 + 3) % 20).cast("string")).as("dst"),
+        ((col("doc_id") % 7 + 1).cast("double") / lit(3.0)).as("weight"))
+      val extE = d.filter(col("doc_id") % 11 === 0)
+        .select(col("source").as("src"),
+          concat(lit("ext"), (col("doc_id") % 3).cast("string")).as("dst"),
+          lit(0.5).as("weight"))
+      graft.functions.HostRank.pageRank(mainE.unionByName(extE), iters = 5)
+        .select(col("host"),
+          round(col("rank") * lit(1e12)).cast("long").as("rank_x1e12"))
+        .orderBy("host")
     }),
 
     // ---- extraction pipeline (rows-only: not SQL-expressible) ----
@@ -4419,5 +4443,60 @@ object SparkEntry {
         |SELECT lang, count(*) AS n_words,
         |  CAST(count(DISTINCT w) AS BIGINT) AS n_distinct
         |FROM f GROUP BY lang ORDER BY lang""".stripMargin,
+    // q76: the oracle unrolls HostRank.pageRank's 5-hop fixed-point
+    // iteration as chained CTEs mirroring the engine's arithmetic
+    // EXACTLY: every shuffled sum is over 1e-9-quantized longs (integer
+    // addition is order-free, which is what makes bit-equality possible
+    // at all); the remaining per-row double ops (frac division, rank
+    // recurrence) are IEEE-identical given identical operand order and
+    // DOUBLE-cast literals (DuckDB parses bare 0.85 as DECIMAL, and
+    // 1.0-0.85 differs between decimal and binary arithmetic). DuckDB's
+    // round (half away from zero) agrees with Spark's HALF_UP for the
+    // non-negative values here.
+    "q76_pagerank" -> {
+      val rank = (k: Int) =>
+        s"""dg$k AS (
+           |  SELECT CAST(coalesce(sum(CAST(round(r.rank * 1e9) AS BIGINT)), 0) AS BIGINT) AS dangling_q
+           |  FROM r${k - 1} r LEFT JOIN srcs s ON r.host = s.src
+           |  WHERE s.src IS NULL),
+           |i$k AS (
+           |  SELECT w.dst AS host,
+           |    CAST(sum(CAST(round(r.rank * w.frac * 1e9) AS BIGINT)) AS BIGINT) AS inflow_q
+           |  FROM r${k - 1} r JOIN weighted w ON r.host = w.src GROUP BY w.dst),
+           |r$k AS (
+           |  SELECT n.host,
+           |    (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / st.n
+           |      + CAST(0.85 AS DOUBLE) * (coalesce(i.inflow_q, 0) / 1e9 + d.dangling_q / 1e9 / st.n) AS rank
+           |  FROM nodes n CROSS JOIN st CROSS JOIN dg$k d
+           |  LEFT JOIN i$k i ON n.host = i.host)""".stripMargin
+      s"""WITH docs AS (
+         |  SELECT CAST(doc_id AS BIGINT) AS doc_id, source FROM documents),
+         |edges AS (
+         |  SELECT source AS src,
+         |    'src' || CAST((doc_id * 7 + 3) % 20 AS VARCHAR) AS dst,
+         |    CAST((doc_id % 7 + 1) AS DOUBLE) / CAST(3.0 AS DOUBLE) AS weight
+         |  FROM docs
+         |  UNION ALL
+         |  SELECT source AS src, 'ext' || CAST(doc_id % 3 AS VARCHAR) AS dst,
+         |    CAST(0.5 AS DOUBLE) AS weight
+         |  FROM docs WHERE doc_id % 11 = 0),
+         |e AS (
+         |  SELECT src, dst,
+         |    CAST(sum(CAST(round(weight * 1e9) AS BIGINT)) AS BIGINT) AS w_q
+         |  FROM edges GROUP BY src, dst
+         |  HAVING CAST(sum(CAST(round(weight * 1e9) AS BIGINT)) AS BIGINT) > 0),
+         |outw AS (SELECT src, CAST(sum(w_q) AS BIGINT) AS out_w_q FROM e GROUP BY src),
+         |weighted AS (
+         |  SELECT e.src, e.dst, e.w_q / o.out_w_q AS frac
+         |  FROM e JOIN outw o ON e.src = o.src),
+         |srcs AS (SELECT DISTINCT src FROM weighted),
+         |nodes AS (SELECT src AS host FROM e UNION SELECT dst AS host FROM e),
+         |st AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+         |r0 AS (SELECT n.host, CAST(1.0 AS DOUBLE) / st.n AS rank
+         |  FROM nodes n CROSS JOIN st),
+         |${(1 to 5).map(rank).mkString(",\n")}
+         |SELECT r5.host, CAST(round(r5.rank * 1e12) AS BIGINT) AS rank_x1e12
+         |FROM r5 ORDER BY host""".stripMargin
+    },
   )
 }

@@ -49,10 +49,31 @@ object Bpe {
   }
 
   /** Learn up to `k` merges from a (word, freq) vocabulary DataFrame.
-    * Stops early when no adjacent pair remains. */
+    * Stops early when no adjacent pair remains.
+    *
+    * `batch` (VERDICT r4 #7): merges accepted per Spark job. The
+    * default 1 is EXACT Sennrich greedy — one pair-count job, one
+    * LIMIT-1 collect, one apply pass per merge — which at a production
+    * 32k-merge vocabulary means 32k sequential jobs with a driver
+    * round-trip each: a latency wall (never a memory one — the collect
+    * is one row). `batch > 1` is the standard batched variant: each job
+    * ranks pairs once, then accepts up to `batch` merges greedily in
+    * rank order, SKIPPING any pair sharing a symbol with an
+    * already-accepted one (disjoint symbol sets ⇒ simultaneous
+    * application over the original sequence is unambiguous, so one
+    * apply pass per job is well-defined and deterministic). Divergence
+    * from exact greedy is inherent and DOCUMENTED: merges after the
+    * first in a batch are chosen on counts that do not reflect the
+    * batch's earlier merges, so a merged symbol cannot re-merge within
+    * its own batch and a rank-2+ choice may differ from what exact
+    * greedy would have picked (BpeSpec pins a fixture where they
+    * differ, and equality on fixtures where batching is benign). Job
+    * count drops k → ~k/batch; batch 64 turns the 32k-vocab learn into
+    * ~500 jobs. The per-job collect stays bounded: `4 * batch` rows. */
   def learnMerges(spark: SparkSession, words: DataFrame, k: Int,
-      ckptEvery: Int = 8): Seq[Merge] = {
+      ckptEvery: Int = 8, batch: Int = 1): Seq[Merge] = {
     import spark.implicits._
+    require(batch >= 1, s"batch must be >= 1, got $batch")
     val truncate = Checkpoints.truncator(spark)
     var cur: Dataset[(Seq[String], Long)] = words
       .select(col("word").cast("string"), col("freq").cast("long"))
@@ -60,30 +81,51 @@ object Bpe {
       .map { case (w, f) => (w.map(_.toString): Seq[String], f) }
       .cache()
     val merges = scala.collection.mutable.ArrayBuffer[Merge]()
-    var r = 1
+    var round = 0
     var done = false
-    while (r <= k && !done) {
+    while (merges.length < k && !done) {
+      val want = math.min(batch, k - merges.length)
+      // over-fetch 4x: conflicts skip candidates, and a candidate list
+      // exhausted by skips just means a shorter batch this job — the
+      // next job re-ranks on fresh counts, so completeness is kept
       val top = cur.flatMap { case (syms, f) => pairsOf(syms, f) }
         .toDF("pair", "freq")
         .groupBy(col("pair._1").as("left"), col("pair._2").as("right"))
         .agg(sum(col("freq")).as("cnt"))
         .orderBy(desc("cnt"), asc("left"), asc("right"))
-        .limit(1)
+        .limit(4 * want)
         .as[(String, String, Long)]
         .collect()
       if (top.isEmpty) done = true
       else {
-        val (l, rr, c) = top.head
-        merges += Merge(r, l, rr, c)
+        // `used` also holds each accepted merge's OUTPUT symbol (l+rr):
+        // a later candidate naming a string equal to an earlier output
+        // must be skipped, or the one apply pass (sequential folds)
+        // would let it consume tokens the earlier merge just created —
+        // diverging from the simultaneous-application semantics
+        val used = scala.collection.mutable.Set.empty[String]
+        val accepted = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+        top.iterator.takeWhile(_ => accepted.length < want).foreach {
+          case (l, rr, c) =>
+            if (!used(l) && !used(rr)) {
+              accepted += ((l, rr, c)); used += l; used += rr; used += (l + rr)
+            }
+        }
+        accepted.foreach { case (l, rr, c) =>
+          merges += Merge(merges.length + 1, l, rr, c)
+        }
+        val batchMerges = accepted.map(a => (a._1, a._2)).toSeq
         val prev = cur
-        val next0 = cur.map { case (syms, f) => (mergePair(syms, l, rr), f) }
-        val next = if (r % ckptEvery == 0)
+        val next0 = cur.map { case (syms, f) =>
+          (batchMerges.foldLeft(syms)((s, m) => mergePair(s, m._1, m._2)), f)
+        }
+        round += 1
+        val next = if (round % ckptEvery == 0)
           truncate(next0.toDF()).as[(Seq[String], Long)].cache()
         else next0.cache()
         next.count() // materialize before releasing the parent
         prev.unpersist()
         cur = next
-        r += 1
       }
     }
     cur.unpersist()

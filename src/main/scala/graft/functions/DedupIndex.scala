@@ -130,6 +130,37 @@ object DedupIndex extends Serializable {
     } finally reps.unpersist()
   }
 
+  /** Merge each hb/kb bucket's accumulated delta files back into one —
+    * the small-file compaction step that completes the lifecycle
+    * (build → append* → compact → append* …), mirroring
+    * [[PostingsIndex.compact]]. [[append]] writes one parquet file per
+    * TOUCHED bucket per ingest, so after hundreds of crawl deltas the
+    * 256 fixed bucket directories are small-file swamps: every probe
+    * opens O(ingests) files per pruned bucket and the namenode/listing
+    * cost grows without bound. Compaction rewrites each side with ONE
+    * shuffle hashed on its bucket column (all rows of a bucket land in
+    * one task → one file per bucket dir), write-then-swap so the lazy
+    * read never sees its own output dir. The indexed corpus is
+    * unchanged: MANIFEST is untouched, [[isCurrent]] holds across a
+    * compact, and probeDelta results are identical before and after
+    * (spec-pinned). Cost: one full read+write of the index — amortize
+    * over many appends, exactly like Lucene merges. */
+  def compact(spark: SparkSession, dir: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    def swapOneFilePerBucket(sub: String, partCol: String): Unit = {
+      val src = new org.apache.hadoop.fs.Path(s"$dir/$sub")
+      val tmp = new org.apache.hadoop.fs.Path(s"$dir/.compact-tmp-$sub")
+      val fs = src.getFileSystem(conf)
+      spark.read.parquet(src.toString)
+        .repartition(col(partCol))
+        .write.mode("overwrite").partitionBy(partCol).parquet(tmp.toString)
+      fs.delete(src, true)
+      fs.rename(tmp, src)
+    }
+    swapOneFilePerBucket("hashes", "hb")
+    swapOneFilePerBucket("bands", "kb")
+  }
+
   /** All near-dup pairs of (indexed corpus ∪ newDocs) touching at
     * least one new doc: (doc_a, doc_b, jaccard_x100), doc_a < doc_b
     * except exact-pair rep order (rep first — lshCandidatePairs

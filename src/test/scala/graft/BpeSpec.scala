@@ -62,6 +62,36 @@ class BpeSpec extends AnyFunSuite {
     }
   }
 
+  test("batched learn: benign fixture == exact greedy; conflicts skip deterministically") {
+    import spark.implicits._
+    // hand-traced: job-1 counts rank (e,s)=9, (s,t)=9, (w,e)=8,
+    // (l,o)=7, ... — batch=2 accepts (e,s), must SKIP (s,t) (shares
+    // 's') and (w,e) (shares 'e'), and takes the disjoint (l,o); job 2
+    // re-ranks on fresh counts and picks (es,t)=9 then (lo,w)=7. Net:
+    // same merge SET as exact greedy here, different order — pinned
+    // exactly.
+    val words = vocab.toDF("word", "freq")
+    val batched = Bpe.learnMerges(spark, words, 4, batch = 2)
+    assert(batched.map(x => (x.left, x.right, x.pair_count)) == Seq(
+      ("e", "s", 9L), ("l", "o", 7L), ("es", "t", 9L), ("lo", "w", 7L)))
+    assert(batched.map(_.rank) == Seq(1, 2, 3, 4))
+    // divergence from exact greedy is real and documented: order differs
+    val exact = Bpe.learnMergesLocal(vocab, 4)
+    assert(batched.map(x => (x.left, x.right)) != exact.map(x => (x.left, x.right)))
+    assert(batched.map(x => (x.left, x.right)).toSet ==
+      exact.map(x => (x.left, x.right)).toSet)
+    // a fixture whose hot pairs are symbol-disjoint: batched == exact
+    val disjoint = Seq(("ab", 9L), ("cd", 7L), ("ef", 5L), ("gh", 3L))
+    val gotD = Bpe.learnMerges(spark, disjoint.toDF("word", "freq"), 4, batch = 4)
+    assert(gotD == Bpe.learnMergesLocal(disjoint, 4))
+    // batched merge tables still encode with the concatenation invariant
+    val table = batched.map(m => (m.left, m.right))
+    for (w <- Seq("lowest", "newest", "zzz"))
+      assert(Bpe.encode(w, table).mkString == w)
+    // batch must cap at the remaining-k budget
+    assert(Bpe.learnMerges(spark, words, 3, batch = 8).length == 3)
+  }
+
   test("distributed learning on a real corpus is self-consistent and stops cleanly") {
     import spark.implicits._
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")

@@ -129,6 +129,33 @@ class DedupIndexSpec extends AnyFunSuite {
       s"no kb partition pruning in:\n$plan")
   }
 
+  test("compact: probe results identical, one file per bucket, manifest intact") {
+    val dir = Files.createTempDirectory("dedup_idx6").toString
+    DedupIndex.build(df(oldDocs), dir)
+    // several single-doc appends — the small-file accumulation pattern
+    val singles = new1Docs.grouped(8).toSeq
+    singles.foreach(s => DedupIndex.append(spark, dir, df(s)))
+    val before = pairsOf(DedupIndex.probeDelta(spark, dir, df(new2Docs)))
+    def bucketFiles(sub: String): Map[String, Int] = {
+      val root = new java.io.File(s"$dir/$sub")
+      root.listFiles().filter(_.isDirectory).map { d =>
+        (d.getName, d.listFiles().count(_.getName.endsWith(".parquet")))
+      }.toMap
+    }
+    assert(bucketFiles("bands").values.exists(_ > 1),
+      "fixture must actually accumulate multiple files in a bucket")
+    DedupIndex.compact(spark, dir)
+    assert(bucketFiles("hashes").values.forall(_ == 1))
+    assert(bucketFiles("bands").values.forall(_ == 1))
+    // corpus unchanged: staleness manifest untouched, probe identical
+    assert(DedupIndex.isCurrent(dir, df(oldDocs ++ new1Docs)))
+    val after = pairsOf(DedupIndex.probeDelta(spark, dir, df(new2Docs)))
+    assert(after == before)
+    // and the compacted index still appends correctly
+    DedupIndex.append(spark, dir, df(new2Docs))
+    assert(DedupIndex.isCurrent(dir, df(oldDocs ++ new1Docs ++ new2Docs)))
+  }
+
   test("materialized probe releases its delta caches") {
     val dir = Files.createTempDirectory("dedup_idx5").toString
     DedupIndex.build(df(oldDocs), dir)
