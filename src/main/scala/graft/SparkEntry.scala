@@ -2334,6 +2334,119 @@ object SparkEntry {
         .orderBy("host")
     }),
 
+    "q77_scd2_history" -> ((s, dir) => {
+      // Crawl-history intervalization — SCD Type-2 over snapshot
+      // sequences: q42 diffs TWO snapshots; a recrawl pipeline holds N
+      // of them, and the queryable form is per-url VALIDITY INTERVALS
+      // (url, content-hash, valid_from, valid_to) — "what did this url
+      // say at crawl 2" becomes a point lookup, retention policies
+      // drop closed intervals, and change-rate estimation (q60) reads
+      // interval lengths directly. Four snapshots are synthesized
+      // deterministically: a url's content bumps its version at
+      // snapshot s iff (doc_id + s) % 3 == 0 (closed-form version
+      // count, integer-exact in both engines), and %13 urls are
+      // deleted from snapshot 2 on — so open, closed, AND
+      // deletion-closed intervals all occur. Scale: the lag/lead
+      // windows partition by url (cardinality grows with data, the
+      // q26/q39 discipline) over <= 4 rows each; everything else is
+      // map-side + one lang agg.
+      val a0 = t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"), col("lang"),
+          col("source"), col("text"))
+      val snapped = a0
+        .select(col("doc_id"), col("lang"), col("source"), col("text"),
+          explode(sequence(lit(0L), lit(3L))).as("snap"))
+        .filter(!(col("doc_id") % 13 === 0 && col("snap") >= 2))
+        // first snapshot whose change-trigger fires: m in 1..3 with
+        // (doc_id + m) % 3 == 0; version at snap = #fires in 1..snap
+        .withColumn("m", when((lit(3) - col("doc_id") % 3) % 3 === 0, lit(3L))
+          .otherwise((lit(3) - col("doc_id") % 3) % 3))
+        .withColumn("ver", when(col("snap") >= col("m"),
+          expr("(snap - m) div 3") + 1L).otherwise(lit(0L)))
+        .select(
+          concat(lit("https://"), col("source"), lit(".example.com/p"),
+            col("doc_id").cast("string")).as("url"),
+          col("lang"), col("snap"),
+          md5(concat(coalesce(col("text"), lit("")), lit("#v"),
+            col("ver").cast("string")).cast("binary")).as("h"))
+      val wUrl = Window.partitionBy("url").orderBy("snap")
+      val starts = snapped
+        .withColumn("prev_h", lag(col("h"), 1).over(wUrl))
+        .withColumn("last_seen", max(col("snap")).over(Window.partitionBy("url")))
+        .filter(col("prev_h").isNull || col("prev_h") =!= col("h"))
+        .select(col("url"), col("lang"), col("h"),
+          col("snap").as("valid_from"), col("last_seen"))
+      val intervals = starts
+        .withColumn("next_from", lead(col("valid_from"), 1).over(wUrl
+          .orderBy(col("valid_from"))))
+        // an interval closes at the next change, or at deletion
+        // (last_seen + 1 when the url vanished before snapshot 3)
+        .withColumn("valid_to", coalesce(col("next_from"),
+          when(col("last_seen") < 3, col("last_seen") + 1L)))
+      val perUrl = intervals.groupBy(col("lang"), col("url"))
+        .agg(count(lit(1)).as("n_int"),
+          sum(when(col("valid_to").isNull, 1L).otherwise(0L)).as("n_open"),
+          sum(when(col("valid_to").isNotNull,
+            col("valid_to") - col("valid_from")).otherwise(0L)).as("closed_len"))
+      perUrl.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_urls"),
+          sum(col("n_int")).as("n_intervals"),
+          sum(col("n_open")).as("n_open"),
+          sum(col("closed_len")).as("sum_closed_len"),
+          max(col("n_int")).as("max_versions"))
+        .orderBy("lang")
+    }),
+
+    "q78_containment" -> ((s, dir) => {
+      // Asymmetric shingle CONTAINMENT (Broder's containment measure,
+      // beside q12's resemblance/Jaccard): c(B ⊂ A) = |S(B)∩S(A)| /
+      // |S(B)|. The measure sub-document dedup actually needs — a
+      // 30-word quote inside a long page has Jaccard ≈ 0 (symmetric
+      // denominator swamps it) but containment ≈ 1; dedup policies
+      // drop the quoter, not the quoted. Planted quoter docs (prefix
+      // of a %17 donor + noise trailer, K varying 10..29) make both
+      // branches non-vacuous, and the jacc column pins the asymmetry
+      // (containment high where Jaccard is low) rather than asserting
+      // it in prose. Scale: at corpus scale the candidate pairs come
+      // from LSH (x08) and containment is the within-bucket verify —
+      // here the planted id-pairing stands in for the candidate set;
+      // the measure itself is one doc-keyed equi-join + per-pair
+      // array_intersect over bounded shingle sets, map-side after the
+      // join.
+      val donors = t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"), col("lang"), col("text"))
+        .filter(col("doc_id") % 17 === 0)
+      def grams3(c: Column): Column = {
+        val w = split(c, " ")
+        when(size(w) < 3, array().cast("array<string>"))
+          .otherwise(array_distinct(transform(sequence(lit(1), size(w) - 2),
+            i => concat_ws(" ", element_at(w, i), element_at(w, i + 1),
+              element_at(w, i + 2)))))
+      }
+      val quoters = donors.select(col("doc_id"),
+        concat(
+          concat_ws(" ", slice(split(col("text"), " "), lit(1),
+            (lit(10) + col("doc_id") % 20).cast("int"))),
+          lit(" zz"), (col("doc_id") % 5).cast("string"),
+          lit(" extra quoting comment trailer")).as("qtext"))
+      val a = donors.select(col("doc_id"), col("lang"), grams3(col("text")).as("ga"))
+      val b = quoters.select(col("doc_id"), grams3(col("qtext")).as("gb"))
+      a.join(b, Seq("doc_id"))
+        .select(col("lang"),
+          floor(lit(1000.0) * size(array_intersect(col("gb"), col("ga"))) /
+            greatest(size(col("gb")), lit(1))).cast("long").as("cont_x1000"),
+          floor(lit(1000.0) * size(array_intersect(col("ga"), col("gb"))) /
+            greatest(size(array_distinct(concat(col("ga"), col("gb")))), lit(1)))
+            .cast("long").as("jacc_x1000"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("cont_x1000")).as("sum_cont_x1000"),
+          sum(col("jacc_x1000")).as("sum_jacc_x1000"),
+          sum(when(col("cont_x1000") >= 700 && col("jacc_x1000") < 500, 1L)
+            .otherwise(0L)).as("n_subdoc_only"))
+        .orderBy("lang")
+    }),
+
     // ---- extraction pipeline (rows-only: not SQL-expressible) ----
     "x01_extract_plain" -> ((s, _) => {
       val (pagesDir, _) = microTables(s)
@@ -4498,5 +4611,84 @@ object SparkEntry {
          |SELECT r5.host, CAST(round(r5.rank * 1e12) AS BIGINT) AS rank_x1e12
          |FROM r5 ORDER BY host""".stripMargin
     },
+    "q77_scd2_history" ->
+      """WITH docs AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, source, text FROM documents),
+        |snaps AS (SELECT CAST(unnest(generate_series(0, 3)) AS BIGINT) AS snap),
+        |sn AS (
+        |  SELECT d.doc_id, d.lang, d.source, d.text, s.snap,
+        |    CASE WHEN (3 - d.doc_id % 3) % 3 = 0 THEN 3
+        |         ELSE (3 - d.doc_id % 3) % 3 END AS m
+        |  FROM docs d CROSS JOIN snaps s
+        |  WHERE NOT (d.doc_id % 13 = 0 AND s.snap >= 2)),
+        |hashed AS (
+        |  SELECT 'https://' || source || '.example.com/p' || CAST(doc_id AS VARCHAR) AS url,
+        |    lang, snap,
+        |    md5(coalesce(text, '') || '#v' ||
+        |      CAST(CASE WHEN snap >= m THEN (snap - m) // 3 + 1 ELSE 0 END AS VARCHAR)) AS h
+        |  FROM sn),
+        |marked AS (
+        |  SELECT url, lang, snap, h,
+        |    lag(h) OVER (PARTITION BY url ORDER BY snap) AS prev_h,
+        |    max(snap) OVER (PARTITION BY url) AS last_seen
+        |  FROM hashed),
+        |starts AS (
+        |  SELECT url, lang, h, snap AS valid_from, last_seen
+        |  FROM marked WHERE prev_h IS NULL OR prev_h <> h),
+        |iv AS (
+        |  SELECT url, lang, valid_from,
+        |    coalesce(lead(valid_from) OVER (PARTITION BY url ORDER BY valid_from),
+        |      CASE WHEN last_seen < 3 THEN last_seen + 1 END) AS valid_to
+        |  FROM starts),
+        |pu AS (
+        |  SELECT lang, url, count(*) AS n_int,
+        |    sum(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END) AS n_open,
+        |    sum(CASE WHEN valid_to IS NOT NULL THEN valid_to - valid_from ELSE 0 END) AS closed_len
+        |  FROM iv GROUP BY lang, url)
+        |SELECT lang, count(*) AS n_urls,
+        |  CAST(sum(n_int) AS BIGINT) AS n_intervals,
+        |  CAST(sum(n_open) AS BIGINT) AS n_open,
+        |  CAST(sum(closed_len) AS BIGINT) AS sum_closed_len,
+        |  CAST(max(n_int) AS BIGINT) AS max_versions
+        |FROM pu GROUP BY lang ORDER BY lang""".stripMargin,
+    "q78_containment" ->
+      """WITH d AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, text
+        |  FROM documents WHERE doc_id % 17 = 0),
+        |q AS (
+        |  SELECT doc_id,
+        |    coalesce(array_to_string(list_slice(string_split(text, ' '), 1,
+        |      CAST(10 + doc_id % 20 AS INT)), ' '), '')
+        |      || ' zz' || CAST(doc_id % 5 AS VARCHAR)
+        |      || ' extra quoting comment trailer' AS qtext
+        |  FROM d),
+        |ga AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN len(string_split(text, ' ')) < 3 THEN []
+        |    ELSE list_distinct(list_transform(
+        |      generate_series(1, len(string_split(text, ' ')) - 2),
+        |      i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2]))
+        |    END AS g
+        |  FROM d),
+        |gb AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(string_split(qtext, ' ')) < 3 THEN []
+        |    ELSE list_distinct(list_transform(
+        |      generate_series(1, len(string_split(qtext, ' ')) - 2),
+        |      i -> string_split(qtext, ' ')[i] || ' ' || string_split(qtext, ' ')[i+1] || ' ' || string_split(qtext, ' ')[i+2]))
+        |    END AS g
+        |  FROM q),
+        |p AS (
+        |  SELECT ga.lang,
+        |    CAST(floor(1000.0 * len(list_intersect(gb.g, ga.g)) /
+        |      greatest(len(gb.g), 1)) AS BIGINT) AS cont_x1000,
+        |    CAST(floor(1000.0 * len(list_intersect(ga.g, gb.g)) /
+        |      greatest(len(list_distinct(ga.g || gb.g)), 1)) AS BIGINT) AS jacc_x1000
+        |  FROM ga JOIN gb USING (doc_id))
+        |SELECT lang, count(*) AS n_pairs,
+        |  CAST(sum(cont_x1000) AS BIGINT) AS sum_cont_x1000,
+        |  CAST(sum(jacc_x1000) AS BIGINT) AS sum_jacc_x1000,
+        |  CAST(sum(CASE WHEN cont_x1000 >= 700 AND jacc_x1000 < 500 THEN 1 ELSE 0 END) AS BIGINT) AS n_subdoc_only
+        |FROM p GROUP BY lang ORDER BY lang""".stripMargin,
   )
 }
