@@ -2863,6 +2863,68 @@ object SparkEntry {
           max(col("cnt")).as("hottest"))
         .orderBy("r")
     }),
+    "x36_stream_funnel" -> ((s, dir) => {
+      // continuous funnel matching: q74's Funnel.matchStages maintained
+      // over live event ingest (functions/Funnel.cascade recomputed per
+      // micro-batch over per-key relevant-event state — exact under
+      // late/out-of-order arrival because the cascade is a pure
+      // function of the event set). FunnelStreamSpec pins stream ==
+      // batch across out-of-order multi-batch arrival; this entry
+      // drains the sf events table and publishes the same cohort
+      // funnel as q74, computed from the STREAM's final snapshots.
+      import s.implicits._
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("ts",
+          org.apache.spark.sql.types.TimestampType),
+        org.apache.spark.sql.types.StructField("user_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("event_type",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("value",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("props",
+          org.apache.spark.sql.types.StringType)))
+      // readStream.parquet requires a DIRECTORY; the sf table is a
+      // single file — stage a copy under the synth cache once
+      val srcFile = java.nio.file.Paths.get(s"$dir/events.parquet")
+      val streamDir = java.nio.file.Paths.get(
+        s"$SynthRoot/x36_events_${Integer.toHexString(dir.hashCode)}")
+      java.nio.file.Files.createDirectories(streamDir)
+      java.nio.file.Files.copy(srcFile, streamDir.resolve("events.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      val ev = s.readStream.schema(schema).parquet(streamDir.toString)
+        .select(col("user_id").cast("long").as("u"),
+          unix_millis(col("ts").cast("timestamp")).as("tsm"),
+          col("event_type").as("ty"))
+        .as[graft.streaming.FunnelEvent]
+      val win = Some(21600000L)
+      val stages = Seq(graft.functions.Funnel.Stage("view", "view"),
+        graft.functions.Funnel.Stage("click", "click", win),
+        graft.functions.Funnel.Stage("purchase", "purchase", win))
+      val name = s"fx_${java.util.UUID.randomUUID().toString.take(8)}"
+      val q = graft.streaming.StreamingExtract.funnelStream(ev, stages)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("update")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val latest = s.sql(s"SELECT * FROM $name")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("u").orderBy(desc("n_events"))))
+        .filter(col("rn") === 1)
+      latest.select(col("u"),
+          element_at(col("ts"), 1).as("t1"),
+          element_at(col("ts"), 2).as("t2"),
+          element_at(col("ts"), 3).as("t3"))
+        .groupBy((col("u") % 5).as("cohort"))
+        .agg(count(lit(1)).as("n_users"),
+          count(col("t1")).as("n_viewed"),
+          count(col("t2")).as("n_clicked"),
+          count(col("t3")).as("n_purchased"))
+        .orderBy("cohort")
+    }),
     "x20_crawl_sessions" -> ((s, _) => {
       // custom-state streaming (flatMapGroupsWithState + event-time
       // timeout): per-host crawl sessionization with a 7-day gap over the

@@ -43,6 +43,35 @@ object Funnel extends Serializable {
   final case class Stage(name: String, eventType: String,
                          windowMs: Option[Long] = None)
 
+  /** The first-match cascade over an UNORDERED event multiset — min
+    * over qualifying events per stage, exactly [[matchStages]]'
+    * semantics as a local function. Order-independence is the property
+    * that makes the streaming form possible at all: the cascade is a
+    * pure function of the event SET, so appending late-arriving events
+    * to state and recomputing equals the batch result over the final
+    * set (pinned stream == batch by FunnelStreamSpec; this local
+    * implementation and matchStages' Catalyst-expression one check
+    * each other there). */
+  def cascade(events: Seq[(Long, String)], stages: Seq[Stage]): Seq[Option[Long]] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Option[Long]]
+    stages.zipWithIndex.foreach { case (st, i) =>
+      val t =
+        if (i == 0) {
+          val c = events.collect { case (ts, ty) if ty == st.eventType => ts }
+          if (c.isEmpty) None else Some(c.min)
+        } else out(i - 1).flatMap { prev =>
+          val hi = st.windowMs.map(prev + _)
+          val c = events.collect {
+            case (ts, ty) if ty == st.eventType && ts >= prev &&
+              hi.forall(ts <= _) => ts
+          }
+          if (c.isEmpty) None else Some(c.min)
+        }
+      out += t
+    }
+    out.toSeq
+  }
+
   /** One row per distinct key: `<keyCol>` plus a nullable long
     * `t_<stage.name>` per stage (epoch millis of the matched event).
     *

@@ -31,6 +31,21 @@ final case class DedupTtlState(count: Long, lastMs: Long)
 final case class DedupDecision(url: String, hash: String, first_seen: Boolean,
     prior_count: Long)
 
+/** One event entering the streaming funnel. */
+final case class FunnelEvent(u: Long, tsm: Long, ty: String)
+
+/** Per-key funnel state: the key's stage-relevant events so far. */
+final case class FunnelKeyState(events: Seq[(Long, String)])
+
+/** Current funnel snapshot for one key: matched timestamp per stage
+  * (None = not reached yet), positionally aligned with the stage list.
+  * `n_events` = relevant events accumulated in state — it strictly
+  * grows across a key's emissions (a key only emits on new data), so
+  * the row with max n_events per key IS the latest snapshot, without
+  * assuming snapshots refine monotonically (a late event can CHANGE an
+  * earlier stage's match, not just fill a null). */
+final case class FunnelProgress(u: Long, n_events: Long, ts: Seq[Option[Long]])
+
 /** Incremental extraction as a Structured Streaming job (SURVEY.md §2.9):
   * the idiomatic Spark home for the reference's resume-loop behavior.
   * `Trigger.AvailableNow` drains everything currently committed and stops
@@ -257,6 +272,42 @@ object StreamingExtract {
             state.setTimeoutDuration(ttlMs)
             out.iterator
           }
+      }
+  }
+
+  /** CONTINUOUS funnel matching — q74/Funnel.matchStages maintained
+    * over live event ingest (the streaming member of the funnel family,
+    * like x25 is to q09): per key, state holds the key's STAGE-RELEVANT
+    * events seen so far and each micro-batch emits the key's updated
+    * funnel snapshot. Because the first-match cascade is a pure
+    * function of the event SET ([[graft.functions.Funnel.cascade]] —
+    * min over qualifying, no positional dependence), late-arriving
+    * events are handled exactly: append + recompute equals the batch
+    * result over the final event set, with NO watermark or ordering
+    * assumption (FunnelStreamSpec pins stream == batch with a user's
+    * events split across micro-batches arriving out of time order).
+    *
+    * Scale shape: events not matching any stage type are dropped
+    * MAP-SIDE (never shuffled, never in state); state per key is
+    * bounded by the key's own relevant activity — strictly tighter
+    * than the batch collect_list, which holds all of the key's events.
+    * Run under OutputMode.Update (each batch re-emits snapshots of
+    * touched keys only). */
+  def funnelStream(events: Dataset[FunnelEvent],
+      stages: Seq[graft.functions.Funnel.Stage]): Dataset[FunnelProgress] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val types = stages.map(_.eventType).toSet
+    events
+      .filter(e => types.contains(e.ty))
+      .groupByKey(_.u)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (u: Long, rows: Iterator[FunnelEvent], state: GroupState[FunnelKeyState]) =>
+          val prior = state.getOption.map(_.events).getOrElse(Seq.empty)
+          val all = prior ++ rows.map(r => (r.tsm, r.ty))
+          state.update(FunnelKeyState(all))
+          FunnelProgress(u, all.length.toLong,
+            graft.functions.Funnel.cascade(all, stages))
       }
   }
 

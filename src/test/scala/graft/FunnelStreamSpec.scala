@@ -1,0 +1,101 @@
+package graft
+
+import graft.functions.Funnel
+import graft.functions.Funnel.Stage
+import graft.streaming.{FunnelEvent, StreamingExtract}
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The streaming funnel contract: funnelStream's final per-key snapshot
+  * must equal batch Funnel.matchStages over the SAME events even when a
+  * key's events are split across micro-batches in arbitrary time order
+  * (late arrivals CHANGE earlier stage matches — no watermark
+  * assumption). This is also the cross-implementation check between
+  * Funnel.cascade (local, used by the stream) and matchStages' Catalyst
+  * expressions (used by batch). */
+class FunnelStreamSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("funnel-stream-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.streaming.schemaInference", "false")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val win = Some(300L)
+  private val stages = Seq(Stage("view", "view"), Stage("click", "click", win),
+    Stage("purchase", "purchase", win))
+
+  test("stream == batch under out-of-order multi-batch arrival") {
+    import spark.implicits._
+    val r = new graft.util.SplitMix64(23L)
+    val types = Array("view", "click", "add", "purchase")
+    val events = (0 until 900).map { _ =>
+      (r.nextInt(30).toLong, r.nextInt(500).toLong * 10L, types(r.nextInt(4)))
+    }
+    // 3 arrival chunks assigned round-robin over the RANDOM sequence —
+    // timestamps interleave arbitrarily across chunks, so later
+    // micro-batches carry earlier event times (true late arrival)
+    val dir = Files.createTempDirectory("funnel_stream").toString
+    events.zipWithIndex.groupBy(_._2 % 3).foreach { case (c, evs) =>
+      evs.map(_._1).toDF("u", "tsm", "ty")
+        .coalesce(1).write.parquet(s"$dir/in/chunk$c")
+    }
+    val src = spark.readStream
+      .schema("u LONG, tsm LONG, ty STRING")
+      .option("maxFilesPerTrigger", 1) // one chunk per micro-batch
+      .parquet(s"$dir/in/*/*.parquet")
+      .as[FunnelEvent]
+    val name = "funnel_stream_spec"
+    val q = StreamingExtract.funnelStream(src, stages)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val snaps = spark.sql(s"SELECT * FROM $name").collect()
+    // >1 batch actually ran and some key emitted more than once
+    // (otherwise the cross-batch state path is vacuous)
+    assert(snaps.map(_.getLong(0)).groupBy(identity).exists(_._2.length > 1),
+      "fixture must exercise multiple emissions per key")
+    def tsSeq(row: org.apache.spark.sql.Row, i: Int): Seq[Option[Long]] =
+      row.getSeq[Any](i).map(v => Option(v).map(_.asInstanceOf[Long]))
+    val latest = snaps.groupBy(_.getLong(0)).map { case (u, rows) =>
+      (u, tsSeq(rows.maxBy(_.getLong(1)), 2))
+    }
+    // a late arrival must have CHANGED some key's earlier snapshot —
+    // not merely extended it (the order-independence claim under test)
+    val changed = snaps.groupBy(_.getLong(0)).values.exists { rows =>
+      val ordered = rows.sortBy(_.getLong(1)).map(tsSeq(_, 2))
+      ordered.zip(ordered.tail).exists { case (a, b) =>
+        a.zip(b).exists { case (x, y) => x.isDefined && y.isDefined && x != y }
+      }
+    }
+    assert(changed, "no late event rewrote an earlier stage match — weak fixture")
+
+    val batch = Funnel.matchStages(
+        events.toDF("user_id", "tsm", "event_type"), stages)
+      .collect().map { row =>
+      val ts = stages.indices.map { i =>
+        val f = row.fieldIndex(s"t_${stages(i).name}")
+        if (row.isNullAt(f)) None else Some(row.getLong(f))
+      }
+      (row.getLong(row.fieldIndex("user_id")), ts)
+    }.toMap
+    latest.foreach { case (u, ts) =>
+      assert(batch(u) == ts, s"user $u: stream $ts != batch ${batch(u)}")
+    }
+    // keys absent from the stream are exactly those with no
+    // stage-relevant event — all-null in batch
+    val relevant = stages.map(_.eventType).toSet
+    (batch.keySet -- latest.keySet).foreach { u =>
+      assert(batch(u).forall(_.isEmpty))
+      assert(!events.exists(e => e._1 == u && relevant(e._3)))
+    }
+  }
+}
