@@ -32,6 +32,34 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** The deterministic 4-snapshot crawl history shared by q77 (batch
+    * SCD2 intervalization) and x37 (streaming SCD2 maintenance — the
+    * spec pins x37 == q77, so both MUST synthesize identical
+    * snapshots): (url, lang, snap, h); a url's content bumps its
+    * version at snapshot s iff (doc_id + s) % 3 == 0, %13 urls are
+    * deleted from snapshot 2 on. */
+  private def scd2Snapshots(s: SparkSession, dir: String): DataFrame = {
+    val a0 = t(s, dir, "documents")
+      .select(col("doc_id").cast("long").as("doc_id"), col("lang"),
+        col("source"), col("text"))
+    a0.select(col("doc_id"), col("lang"), col("source"), col("text"),
+        explode(sequence(lit(0L), lit(3L))).as("snap"))
+      .filter(!(col("doc_id") % 13 === 0 && col("snap") >= 2))
+      // first snapshot whose change-trigger fires: m in 1..3 with
+      // (doc_id + m) % 3 == 0; version at snap = #fires in 1..snap
+      .withColumn("m", when((lit(3) - col("doc_id") % 3) % 3 === 0, lit(3L))
+        .otherwise((lit(3) - col("doc_id") % 3) % 3))
+      .withColumn("ver", when(col("snap") >= col("m"),
+        expr("(snap - m) div 3") + 1L).otherwise(lit(0L)))
+      .select(
+        concat(lit("https://"), col("source"), lit(".example.com/p"),
+          col("doc_id").cast("string")).as("url"),
+        col("lang"), col("snap"),
+        md5(concat(coalesce(col("text"), lit("")), lit("#v"),
+          col("ver").cast("string")).cast("binary")).as("h"),
+        col("doc_id"))
+  }
+
   /** Flagship: full multi-mode extraction of the micro corpus joined
     * against golden with a byte-identity verdict per url. */
   def entry(spark: SparkSession): DataFrame = {
@@ -2350,25 +2378,7 @@ object SparkEntry {
       // windows partition by url (cardinality grows with data, the
       // q26/q39 discipline) over <= 4 rows each; everything else is
       // map-side + one lang agg.
-      val a0 = t(s, dir, "documents")
-        .select(col("doc_id").cast("long").as("doc_id"), col("lang"),
-          col("source"), col("text"))
-      val snapped = a0
-        .select(col("doc_id"), col("lang"), col("source"), col("text"),
-          explode(sequence(lit(0L), lit(3L))).as("snap"))
-        .filter(!(col("doc_id") % 13 === 0 && col("snap") >= 2))
-        // first snapshot whose change-trigger fires: m in 1..3 with
-        // (doc_id + m) % 3 == 0; version at snap = #fires in 1..snap
-        .withColumn("m", when((lit(3) - col("doc_id") % 3) % 3 === 0, lit(3L))
-          .otherwise((lit(3) - col("doc_id") % 3) % 3))
-        .withColumn("ver", when(col("snap") >= col("m"),
-          expr("(snap - m) div 3") + 1L).otherwise(lit(0L)))
-        .select(
-          concat(lit("https://"), col("source"), lit(".example.com/p"),
-            col("doc_id").cast("string")).as("url"),
-          col("lang"), col("snap"),
-          md5(concat(coalesce(col("text"), lit("")), lit("#v"),
-            col("ver").cast("string")).cast("binary")).as("h"))
+      val snapped = scd2Snapshots(s, dir)
       val wUrl = Window.partitionBy("url").orderBy("snap")
       val starts = snapped
         .withColumn("prev_h", lag(col("h"), 1).over(wUrl))
@@ -2924,6 +2934,66 @@ object SparkEntry {
           count(col("t2")).as("n_clicked"),
           count(col("t3")).as("n_purchased"))
         .orderBy("cohort")
+    }),
+    "x37_stream_scd2" -> ((s, dir) => {
+      // continuous SCD2 maintenance: q77's intervalization kept current
+      // over a CDC stream (upserts from the q77 snapshots + explicit
+      // delete tombstones at snapshot 2 for the %13 urls — exactly the
+      // events a q42 snapshot diff emits). Three arrival chunks
+      // (snaps 0-1, snap 2 + deletes, snap 3) drain as separate
+      // micro-batches; the final per-url intervals aggregate to q77's
+      // EXACT output columns, and ScdStreamSpec pins x37 == the
+      // oracle-verified q77 rows plus stream == local-walk equality
+      // under out-of-order arrival.
+      import s.implicits._
+      val snapped = scd2Snapshots(s, dir)
+      val ups = snapped.select(col("url"), col("snap"), col("h"),
+        lit(false).as("deleted"))
+      val dels = snapped.filter(col("doc_id") % 13 === 0)
+        .select(col("url")).distinct()
+        .select(col("url"), lit(2L).as("snap"), lit("").as("h"),
+          lit(true).as("deleted"))
+      val events = ups.unionByName(dels)
+      val root = s"$SynthRoot/x37_cdc_${Integer.toHexString(dir.hashCode)}"
+      events.filter(col("snap") <= 1).coalesce(1)
+        .write.mode("overwrite").parquet(s"$root/c0")
+      events.filter(col("snap") === 2).coalesce(1)
+        .write.mode("overwrite").parquet(s"$root/c1")
+      events.filter(col("snap") === 3).coalesce(1)
+        .write.mode("overwrite").parquet(s"$root/c2")
+      val src = s.readStream
+        .schema("url STRING, snap LONG, h STRING, deleted BOOLEAN")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$root/*/*.parquet")
+        .as[graft.streaming.ScdEvent]
+      val name = s"scd_${java.util.UUID.randomUUID().toString.take(8)}"
+      val q = graft.streaming.StreamingExtract.scdStream(src)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("update")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val latest = s.sql(s"SELECT * FROM $name")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("url").orderBy(desc("n_obs"))))
+        .filter(col("rn") === 1)
+        .select(col("url"), explode(col("intervals")).as("iv"))
+        .select(col("url"), col("iv._2").as("valid_from"),
+          col("iv._3").as("valid_to"))
+      val dim = snapped.select(col("url"), col("lang")).distinct()
+      latest.join(broadcast(dim), Seq("url"))
+        .groupBy(col("lang"), col("url"))
+        .agg(count(lit(1)).as("n_int"),
+          sum(when(col("valid_to").isNull, 1L).otherwise(0L)).as("n_open"),
+          sum(when(col("valid_to").isNotNull,
+            col("valid_to") - col("valid_from")).otherwise(0L)).as("closed_len"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_urls"),
+          sum(col("n_int")).as("n_intervals"),
+          sum(col("n_open")).as("n_open"),
+          sum(col("closed_len")).as("sum_closed_len"),
+          max(col("n_int")).as("max_versions"))
+        .orderBy("lang")
     }),
     "x20_crawl_sessions" -> ((s, _) => {
       // custom-state streaming (flatMapGroupsWithState + event-time

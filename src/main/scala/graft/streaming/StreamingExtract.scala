@@ -46,6 +46,20 @@ final case class FunnelKeyState(events: Seq[(Long, String)])
   * earlier stage's match, not just fill a null). */
 final case class FunnelProgress(u: Long, n_events: Long, ts: Seq[Option[Long]])
 
+/** One CDC observation entering streaming SCD2 maintenance: url seen at
+  * snapshot `snap` with content hash `h`, or deleted there. */
+final case class ScdEvent(url: String, snap: Long, h: String, deleted: Boolean)
+
+/** Per-url SCD2 state: all observations so far. */
+final case class ScdKeyState(obs: Seq[(Long, String, Boolean)])
+
+/** Current validity intervals for one url: (hash, valid_from,
+  * valid_to=None while open). `n_obs` grows with state (equal n_obs ⇒
+  * identical state ⇒ identical intervals, so max-n_obs per url is the
+  * latest snapshot without monotonicity assumptions — x36 discipline). */
+final case class ScdIntervals(url: String, n_obs: Long,
+    intervals: Seq[(String, Long, Option[Long])])
+
 /** Incremental extraction as a Structured Streaming job (SURVEY.md §2.9):
   * the idiomatic Spark home for the reference's resume-loop behavior.
   * `Trigger.AvailableNow` drains everything currently committed and stops
@@ -308,6 +322,62 @@ object StreamingExtract {
           state.update(FunnelKeyState(all))
           FunnelProgress(u, all.length.toLong,
             graft.functions.Funnel.cascade(all, stages))
+      }
+  }
+
+  /** Order-independent SCD2 intervalization over an observation SET —
+    * q77's interval semantics as a local function: walk observations in
+    * snapshot order; a hash change closes the running interval at the
+    * change snapshot and opens a new one; a delete closes it at the
+    * delete snapshot; a later non-delete observation RE-OPENS (re-added
+    * url — richer than q77's snapshot-diff form, where absence can only
+    * be inferred once). Pure function of the set, so the streaming form
+    * below handles late/out-of-order arrival exactly (the x36 cascade
+    * argument). Duplicate identical observations are deduped; inputs
+    * should hold at most one observation per (url, snap) — conflicting
+    * same-snap observations are processed in (snap, deleted, h) order,
+    * deterministic but semantically the caller's bug. */
+  def scdIntervalize(obs: Seq[(Long, String, Boolean)]): Seq[(String, Long, Option[Long])] = {
+    val out = Vector.newBuilder[(String, Long, Option[Long])]
+    var cur: Option[(String, Long)] = None // (hash, valid_from)
+    obs.distinct.sortBy(o => (o._1, o._3, o._2)).foreach { case (snap, h, del) =>
+      if (del) {
+        cur.foreach { case (ch, from) => out += ((ch, from, Some(snap))) }
+        cur = None
+      } else cur match {
+        case Some((ch, _)) if ch == h => () // unchanged: interval extends
+        case Some((ch, from)) =>
+          out += ((ch, from, Some(snap)))
+          cur = Some((h, snap))
+        case None => cur = Some((h, snap))
+      }
+    }
+    cur.foreach { case (ch, from) => out += ((ch, from, None)) }
+    out.result()
+  }
+
+  /** CONTINUOUS SCD2 maintenance — q77's batch intervalization kept
+    * current over a CDC observation stream (the events q42's snapshot
+    * diff emits: upserts with content hashes, deletes as tombstones).
+    * State per url = its observation set (bounded by snapshots
+    * observed, not corpus size); each micro-batch re-intervalizes and
+    * emits the url's full current interval list. Late-arriving
+    * snapshots are exact — a snapshot observed after its successors
+    * splits/rewrites intervals as if it had always been there
+    * (ScdStreamSpec pins stream == an independent local walk across
+    * out-of-order micro-batches, and x37 == the oracle-verified q77
+    * aggregate at the corpus level). Run under OutputMode.Update. */
+  def scdStream(events: Dataset[ScdEvent]): Dataset[ScdIntervals] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.url)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (url: String, rows: Iterator[ScdEvent], state: GroupState[ScdKeyState]) =>
+          val prior = state.getOption.map(_.obs).getOrElse(Seq.empty)
+          val all = (prior ++ rows.map(r => (r.snap, r.h, r.deleted))).distinct
+          state.update(ScdKeyState(all))
+          ScdIntervals(url, all.length.toLong, scdIntervalize(all))
       }
   }
 
