@@ -2457,6 +2457,40 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    "q79_quality_calibration" -> ((s, dir) => {
+      // Per-source CALIBRATED quality filtering — the DCLM/FineWeb
+      // ablation knob: one global cutoff over-prunes clean domains and
+      // under-prunes spammy ones, so the threshold is read per source
+      // from that source's own score distribution. Composition of the
+      // round's operators: score each doc with a deterministic integer
+      // quality proxy (doc length — the Gopher-style min-length
+      // signal, which actually SPREADS across bins on this corpus
+      // where punctuation density degenerates to one bin), build the
+      // per-source HistogramSketch, take each source's p50 bin as its
+      // cutoff,
+      // broadcast the O(sources) threshold table back, filter map-side.
+      // At 100 TB: the sketch is one bounded partial-agg shuffle, the
+      // thresholds are tiny and broadcast, and the keep/drop decision
+      // never shuffles the corpus. The oracle replays the identical
+      // bin/threshold windows.
+      import graft.functions.HistogramSketch
+      val d = t(s, dir, "documents")
+        .select(col("source"), col("doc_id").cast("long").as("doc_id"),
+          greatest(col("n_chars").cast("long"), lit(1L)).as("score"))
+      val thresholds = HistogramSketch.quantileSummary(
+          HistogramSketch.build(d, "score", Seq("source")), Seq("source"))
+        .select(col("source"), col("p50_bin"))
+      d.withColumn("bin", HistogramSketch.binOf(col("score")))
+        .join(broadcast(thresholds), Seq("source"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("bin") >= col("p50_bin"), 1L).otherwise(0L)).as("n_kept"),
+          min(when(col("bin") >= col("p50_bin"), col("score"))).as("min_kept_score"),
+          sum(when(col("bin") >= col("p50_bin"), col("doc_id"))).as("kept_checksum"),
+          max(col("p50_bin")).as("p50_bin"))
+        .orderBy("source")
+    }),
+
     // ---- extraction pipeline (rows-only: not SQL-expressible) ----
     "x01_extract_plain" -> ((s, _) => {
       val (pagesDir, _) = microTables(s)
@@ -4822,5 +4856,28 @@ object SparkEntry {
         |  CAST(sum(jacc_x1000) AS BIGINT) AS sum_jacc_x1000,
         |  CAST(sum(CASE WHEN cont_x1000 >= 700 AND jacc_x1000 < 500 THEN 1 ELSE 0 END) AS BIGINT) AS n_subdoc_only
         |FROM p GROUP BY lang ORDER BY lang""".stripMargin,
+    "q79_quality_calibration" ->
+      """WITH b AS (
+        |  SELECT source, CAST(doc_id AS BIGINT) AS doc_id,
+        |    greatest(CAST(n_chars AS BIGINT), 1) AS score,
+        |    CAST(length(bin(greatest(CAST(n_chars AS BIGINT), 1))) AS BIGINT) AS bin
+        |  FROM documents),
+        |h AS (SELECT source, bin, count(*) AS cnt FROM b GROUP BY source, bin),
+        |c AS (
+        |  SELECT source, bin, cnt,
+        |    SUM(cnt) OVER (PARTITION BY source ORDER BY bin
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    SUM(cnt) OVER (PARTITION BY source) AS n
+        |  FROM h),
+        |t AS (
+        |  SELECT source, CAST(min(CASE WHEN cum * 2 >= n THEN bin END) AS BIGINT) AS p50_bin
+        |  FROM c GROUP BY source)
+        |SELECT b.source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN b.bin >= t.p50_bin THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(min(CASE WHEN b.bin >= t.p50_bin THEN b.score END) AS BIGINT) AS min_kept_score,
+        |  CAST(sum(CASE WHEN b.bin >= t.p50_bin THEN b.doc_id END) AS BIGINT) AS kept_checksum,
+        |  CAST(max(t.p50_bin) AS BIGINT) AS p50_bin
+        |FROM b JOIN t USING (source)
+        |GROUP BY b.source ORDER BY b.source""".stripMargin,
   )
 }
