@@ -2958,7 +2958,16 @@ object SparkEntry {
         .withColumn("rn", row_number().over(
           Window.partitionBy("u").orderBy(desc("n_events"))))
         .filter(col("rn") === 1)
-      latest.select(col("u"),
+      // n_users must count the FULL key population (q74's denominator):
+      // funnelStream drops stage-irrelevant events map-side, so a user
+      // with no relevant event never reaches the stream — left-join the
+      // snapshots onto the batch user dim instead of counting stream
+      // keys, and x36 == q74 holds structurally, not by the data
+      // happening to give every user a relevant event (review finding)
+      val allUsers = t(s, dir, "events")
+        .select(col("user_id").cast("long").as("u")).distinct()
+      allUsers.join(latest, Seq("u"), "left")
+        .select(col("u"),
           element_at(col("ts"), 1).as("t1"),
           element_at(col("ts"), 2).as("t2"),
           element_at(col("ts"), 3).as("t3"))

@@ -91,18 +91,26 @@ object DedupIndex extends Serializable {
 
   /** Build the index from the full corpus (doc_id, text). */
   def build(docs: DataFrame, dir: String): Unit = {
+    // three consumers walk the withRep lineage (hashes write, bands
+    // write, fingerprint), and withRep's agg+join-back already scans
+    // its input twice per evaluation — persist like append() does, or
+    // a build costs ~6 corpus scans with md5 recomputed each time
+    // (review finding)
     val reps = withRep(docs)
-    // one row per distinct h, map-only off withRep's join (the rep row
-    // is the one whose doc_id IS the rep)
-    reps.filter(col("doc_id") === col("rep_id"))
-      .select(col("h"), col("rep_id"))
-      .withColumn("hb", conv(substring(col("h"), 1, 2), 16, 10).cast("int"))
-      .write.mode("overwrite").partitionBy("hb").parquet(s"$dir/hashes")
-    bandRows(reps.filter(col("doc_id") === col("rep_id"))
-        .select(col("doc_id"), col("text")))
-      .write.mode("overwrite").partitionBy("kb").parquet(s"$dir/bands")
-    val (n, fp) = fingerprint(reps)
-    writeManifest(docs.sparkSession, dir, n, fp)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // one row per distinct h, map-only off withRep's join (the rep
+      // row is the one whose doc_id IS the rep)
+      reps.filter(col("doc_id") === col("rep_id"))
+        .select(col("h"), col("rep_id"))
+        .withColumn("hb", conv(substring(col("h"), 1, 2), 16, 10).cast("int"))
+        .write.mode("overwrite").partitionBy("hb").parquet(s"$dir/hashes")
+      bandRows(reps.filter(col("doc_id") === col("rep_id"))
+          .select(col("doc_id"), col("text")))
+        .write.mode("overwrite").partitionBy("kb").parquet(s"$dir/bands")
+      val (n, fp) = fingerprint(reps)
+      writeManifest(docs.sparkSession, dir, n, fp)
+    } finally reps.unpersist()
   }
 
   /** Ingest a delta into the index so the NEXT probe sees it: new
@@ -157,8 +165,18 @@ object DedupIndex extends Serializable {
       fs.delete(src, true)
       fs.rename(tmp, src)
     }
+    // crash-safety discipline (review finding): the delete-then-rename
+    // swap has a window where a data dir is gone — so the MANIFEST (the
+    // validity marker every reader checks first) is taken DOWN before
+    // the swap and restored after. A driver death mid-compact leaves
+    // isCurrent() == false and the caller rebuilds, instead of a
+    // "current" index that throws path-not-found on the next probe.
+    val manifestTxt = graft.util.FsText.read(hconf(spark), s"$dir/MANIFEST")
+    val mp = new org.apache.hadoop.fs.Path(s"$dir/MANIFEST")
+    mp.getFileSystem(conf).delete(mp, false)
     swapOneFilePerBucket("hashes", "hb")
     swapOneFilePerBucket("bands", "kb")
+    graft.util.FsText.write(hconf(spark), s"$dir/MANIFEST", manifestTxt)
   }
 
   /** All near-dup pairs of (indexed corpus ∪ newDocs) touching at

@@ -26,8 +26,18 @@ import org.apache.spark.sql.functions._
 object HistogramSketch extends Serializable {
 
   /** Power-of-two bin of a non-negative long column: length of its
-    * binary rendering (0 → bin 1, 1 → 1, 2..3 → 2, 4..7 → 3, …). */
-  def binOf(value: Column): Column = length(bin(value)).cast("long")
+    * binary rendering (0 → bin 1, 1 → 1, 2..3 → 2, 4..7 → 3, …).
+    * Negative values RAISE instead of silently landing in bin 64
+    * (bin(-1) renders 64 one-bits — a corrupt length would otherwise
+    * quietly inflate max_bin and skew every quantile; the HostRank
+    * loud-failure discipline, review finding). */
+  def binOf(value: Column): Column = {
+    val v = value.cast("long")
+    when(v < 0, raise_error(concat(
+        lit("HistogramSketch.binOf: negative value "), v.cast("string")))
+      .cast("long"))
+      .otherwise(length(bin(v)).cast("long"))
+  }
 
   /** (keys…, bin, cnt): one partial-aggregating shuffle. `keys` empty
     * gives the global histogram (≤64 rows total). */

@@ -193,6 +193,14 @@ object PostingsIndex {
     val tmp = new org.apache.hadoop.fs.Path(s"$dir/.compact-tmp")
     val fs = tmp.getFileSystem(conf)
     live.write.mode("overwrite").partitionBy("bucket").parquet(tmp.toString)
+    // crash-safety discipline (shared with DedupIndex.compact): take
+    // the MANIFEST — the validity marker readers check first — DOWN
+    // across the destructive swap, restore it after; a driver death
+    // mid-swap leaves isCurrent() false (rebuild) instead of a
+    // "current" index missing its postings dir
+    val manifestTxt = graft.util.FsText.read(hconf(spark), s"$dir/MANIFEST")
+    val mp = new org.apache.hadoop.fs.Path(s"$dir/MANIFEST")
+    mp.getFileSystem(conf).delete(mp, false)
     fs.delete(new org.apache.hadoop.fs.Path(s"$dir/postings"), true)
     fs.delete(new org.apache.hadoop.fs.Path(s"$dir/tombstones"), true)
     fs.delete(new org.apache.hadoop.fs.Path(s"$dir/stats"), true)
@@ -200,6 +208,7 @@ object PostingsIndex {
     fs.rename(tmp, new org.apache.hadoop.fs.Path(s"$dir/postings/seg=0"))
     writeStatsSeg(spark, dir, 0, totN, totDl)
     writeText(spark, s"$dir/SEGS", """{"segs":1}""")
+    graft.util.FsText.write(hconf(spark), s"$dir/MANIFEST", manifestTxt)
   }
 
   /** Kill postings of docs rewritten in LATER segments (a tombstone at

@@ -205,9 +205,13 @@ object TextSketch extends Serializable {
     * equi-join partition but can never split a window — while the
     * aggregate absorbs the mega-key map-side (partial agg) and the
     * join-back is a plain equi-join AQE skew-join CAN split. Costs one
-    * extra pass over the input lineage vs the window form; that is the
-    * right trade at 100 TB, and callers that probe twice persist the
-    * result anyway. */
+    * extra pass over the input lineage vs the window form PER
+    * EVALUATION; that is the right trade at 100 TB. Callers that
+    * evaluate the result more than once must persist it
+    * (DedupIndex.build/append do); lshCandidatePairs deliberately does
+    * NOT (its contract is lazy/nothing-pinned), so a full-corpus run
+    * pays ~4 input scans — callers wanting fewer persist `docs`
+    * upstream, where the trade is theirs to make. */
   private[functions] def withRep(docs: DataFrame): DataFrame = {
     val hashed = docs
       .select(col("doc_id").cast("long").as("doc_id"), col("text"))

@@ -98,4 +98,18 @@ class FunnelStreamSpec extends AnyFunSuite {
       assert(!events.exists(e => e._1 == u && relevant(e._3)))
     }
   }
+
+  test("x36 streaming cohort funnel == q74 batch counts (sf0.001)") {
+    // structural equality (incl. the n_users denominator over the FULL
+    // user population — users with no stage-relevant event never reach
+    // the stream and are restored by the dim left-join), not a
+    // data-coincidence (review finding)
+    val sf = "/root/testdata/sf0.001"
+    val q74 = SparkEntry.queries("q74_event_funnel")(spark, sf)
+      .select("cohort", "n_users", "n_viewed", "n_clicked", "n_purchased")
+      .collect().map(_.toString).toSeq
+    val x36 = SparkEntry.queries("x36_stream_funnel")(spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(x36 == q74)
+  }
 }

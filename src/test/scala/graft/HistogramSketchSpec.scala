@@ -32,6 +32,16 @@ class HistogramSketchSpec extends AnyFunSuite {
     assert(got == Seq(1L, 1L, 2L, 2L, 3L, 3L, 4L, 10L, 11L, 41L))
   }
 
+  test("negative values raise instead of misbinning as bin 64 (review finding)") {
+    import spark.implicits._
+    val ex = intercept[Exception] {
+      Seq(5L, -1L).toDF("v").select(HistogramSketch.binOf(col("v"))).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("negative value")), msgs(ex).mkString("; "))
+  }
+
   test("histograms merge losslessly: build(a ∪ b) == per-(key,bin) cnt-sum of build(a), build(b)") {
     val r = new graft.util.SplitMix64(3L)
     val all = (0 until 500).map(_ => (s"h${r.nextInt(4)}", r.nextInt(5000).toLong))

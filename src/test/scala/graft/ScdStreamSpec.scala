@@ -23,12 +23,18 @@ class ScdStreamSpec extends AnyFunSuite {
     .getOrCreate()
 
   /** Independent reference: chronological fold, written differently
-    * from StreamingExtract.scdIntervalize (explicit state machine over
-    * a pre-sorted list vs builder walk). */
+    * from StreamingExtract.scdIntervalize — and deliberately NOT
+    * sharing its (snap, deleted, h) canonicalization or distinct-dedup
+    * (review finding: a reference that copies the preprocessing cannot
+    * catch a bug in it). The fixture guarantees at most one observation
+    * per (url, snap) — scdIntervalize's documented input contract — so
+    * plain snap order IS the semantics here, and exact replay
+    * duplicates (exercised by the replayed chunk below) must be
+    * absorbed by the operator without this reference modeling them. */
   private def localIntervals(obs: Seq[(Long, String, Boolean)]): Set[(String, Long, Option[Long])] = {
     var open: Option[(String, Long)] = None
     val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Option[Long])]
-    for ((snap, h, del) <- obs.distinct.sortBy(o => (o._1, o._3, o._2))) {
+    for ((snap, h, del) <- obs.sortBy(_._1)) {
       (open, del) match {
         case (Some((ch, from)), true) =>
           out += ((ch, from, Some(snap))); open = None
@@ -62,6 +68,11 @@ class ScdStreamSpec extends AnyFunSuite {
     events.zipWithIndex.groupBy(_._2 % 3).foreach { case (c, evs) =>
       evs.map(_._1).toDS().coalesce(1).write.parquet(s"$dir/in/chunk$c")
     }
+    // a REPLAYED chunk (exact duplicates of chunk 0's events, arriving
+    // last): at-least-once sources re-deliver; the operator's set-dedup
+    // must absorb the replay with no interval change
+    events.zipWithIndex.filter(_._2 % 3 == 0).map(_._1).toDS()
+      .coalesce(1).write.parquet(s"$dir/in/replay")
     val src = spark.readStream
       .schema("url STRING, snap LONG, h STRING, deleted BOOLEAN")
       .option("maxFilesPerTrigger", 1)
