@@ -2491,6 +2491,61 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    "q80_substring_excise" -> ((s, dir) => {
+      // Cross-document exact-substring EXCISION — the REMOVE step of
+      // Lee et al.'s "Deduplicating Training Data Makes Language
+      // Models Better", completing q37 (which only MARKS): every token
+      // covered by an 8-token window occurring in >1 distinct doc is
+      // cut, the rest of the page survives (q73's surgical discipline
+      // applied corpus-cross instead of against a benchmark set).
+      // Plan: one explode to (doc, pos, windowHash), the q37/q35
+      // agg+join-back for shared windows (never count-over-window —
+      // boilerplate windows are mega-keys), positions collect per doc
+      // (bounded by the doc's own length), and an index-aware
+      // higher-order filter does the cut map-side. The window key is
+      // xxhash64 of the token slice (the q37 8-byte shuffle-key
+      // discipline; the oracle groups by the window STRING, so a
+      // Spark-side hash collision — p ≈ W²/2⁶⁵ — would surface as a
+      // signature mismatch instead of hiding). Production knob: Lee et
+      // al. excise spans ≥ 50 tokens; the 8-token window here matches
+      // q37 so the mark and the cut agree on what "duplicated" means.
+      val d0 = t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"), col("lang"),
+          expr("filter(split(coalesce(text, ''), ' '), w -> w != '')").as("toks"))
+      val plantOff = d0.agg(max(col("doc_id"))).first().getLong(0) + 1L
+      // planted partial copies (first 20 tokens of every %97 donor, ids
+      // past max) keep the cross-doc branch non-vacuous — natural
+      // random-word docs share no 8-gram
+      val d = d0.unionByName(d0.filter(col("doc_id") % 97 === 0)
+        .select((col("doc_id") + plantOff).as("doc_id"),
+          lit("planted").as("lang"), slice(col("toks"), 1, 20).as("toks")))
+        .withColumn("n", size(col("toks")).cast("long"))
+      val wins = d.filter(col("n") >= 8)
+        .select(col("doc_id"), posexplode(transform(
+          sequence(lit(1L), col("n") - 7),
+          i => xxhash64(slice(col("toks"), i.cast("int"), lit(8))))))
+        .toDF("doc_id", "pos", "w")
+      val shared = wins.select(col("doc_id"), col("w")).distinct()
+        .groupBy(col("w")).agg(count(lit(1)).as("nd"))
+        .filter(col("nd") > 1).select(col("w"))
+      val dupP = wins.join(shared, Seq("w"))
+        .groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(col("pos"))).as("P"))
+      val cleaned = d.join(dupP, Seq("doc_id"), "left")
+        .withColumn("P", coalesce(col("P"), array().cast("array<int>")))
+        .withColumn("kept", filter(col("toks"),
+          (t, i) => !exists(col("P"), p => p <= i && i <= p + 7)))
+        .withColumn("clean", concat_ws(" ", col("kept")))
+      cleaned.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n")).as("sum_tokens_before"),
+          sum(size(col("kept")).cast("long")).as("sum_tokens_after"),
+          sum(when(size(col("kept")) < col("n"), 1L).otherwise(0L)).as("n_docs_changed"),
+          sum(expr("CAST(conv(substring(md5(CAST(clean AS BINARY)), 1, 8), 16, 10) AS BIGINT)"))
+            .as("clean_sig"))
+        .orderBy("lang")
+    }),
+
     // ---- extraction pipeline (rows-only: not SQL-expressible) ----
     "x01_extract_plain" -> ((s, _) => {
       val (pagesDir, _) = microTables(s)
@@ -4888,5 +4943,51 @@ object SparkEntry {
         |  CAST(max(t.p50_bin) AS BIGINT) AS p50_bin
         |FROM b JOIN t USING (source)
         |GROUP BY b.source ORDER BY b.source""".stripMargin,
+    // q80: the oracle replays the excision with the window STRING as
+    // the shared-window key (DuckDB cannot compute xxhash64 over a
+    // token slice, and does not need to: the hash is engine-local, and
+    // a Spark-side collision would merge two distinct windows and shift
+    // the md5-based clean_sig — the compare catches it instead of
+    // hiding it).
+    "q80_substring_excise" ->
+      """WITH d0 AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+        |    list_filter(string_split(coalesce(text, ''), ' '), w -> w <> '') AS toks
+        |  FROM documents),
+        |mx AS (SELECT max(doc_id) + 1 AS off FROM d0),
+        |d AS (
+        |  SELECT doc_id, lang, toks, CAST(len(toks) AS BIGINT) AS n FROM d0
+        |  UNION ALL
+        |  SELECT d0.doc_id + mx.off, 'planted', d0.toks[1:20],
+        |    CAST(len(d0.toks[1:20]) AS BIGINT)
+        |  FROM d0, mx WHERE d0.doc_id % 97 = 0),
+        |wins AS (
+        |  SELECT doc_id, i - 1 AS pos, array_to_string(toks[i:i+7], ' ') AS w
+        |  FROM d, unnest(generate_series(1, n - 7)) AS t(i)
+        |  WHERE n >= 8),
+        |shared AS (
+        |  SELECT w FROM (SELECT DISTINCT doc_id, w FROM wins)
+        |  GROUP BY w HAVING count(*) > 1),
+        |dup AS (
+        |  SELECT wins.doc_id, list(wins.pos ORDER BY wins.pos) AS p
+        |  FROM wins JOIN shared USING (w) GROUP BY wins.doc_id),
+        |c AS (
+        |  SELECT d.lang, d.n,
+        |    list_transform(
+        |      list_filter(list_zip(d.toks, generate_series(0, n - 1)),
+        |        z -> len(list_filter(coalesce(dup.p, []),
+        |          q -> q <= z[2] AND z[2] <= q + 7)) = 0),
+        |      z -> z[1]) AS kept
+        |  FROM d LEFT JOIN dup ON d.doc_id = dup.doc_id),
+        |e AS (
+        |  SELECT lang, n, CAST(len(kept) AS BIGINT) AS n_after,
+        |    coalesce(array_to_string(kept, ' '), '') AS clean
+        |  FROM c)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n) AS BIGINT) AS sum_tokens_before,
+        |  CAST(sum(n_after) AS BIGINT) AS sum_tokens_after,
+        |  CAST(sum(CASE WHEN n_after < n THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_changed,
+        |  CAST(sum(CAST('0x' || substr(md5(clean), 1, 8) AS BIGINT)) AS BIGINT) AS clean_sig
+        |FROM e GROUP BY lang ORDER BY lang""".stripMargin,
   )
 }
