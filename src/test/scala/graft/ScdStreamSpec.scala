@@ -112,6 +112,68 @@ class ScdStreamSpec extends AnyFunSuite {
     assert(latest.values.exists(_.size >= 3), "no url with a delete/re-add history")
   }
 
+  test("state survives a query restart: resumed run re-intervalizes with run-1 observations") {
+    import spark.implicits._
+    val r = new graft.util.SplitMix64(47L)
+    val events = (0 until 20).flatMap { u =>
+      (0L to 7L).flatMap { snap =>
+        r.nextInt(4) match {
+          case 0 => None
+          case 1 => Some(ScdEvent(s"u$u", snap, "", deleted = true))
+          case _ => Some(ScdEvent(s"u$u", snap, s"h${r.nextInt(3)}", deleted = false))
+        }
+      }
+    }
+    // run 1 holds snapshots 0-4; run 2 delivers 5-7 to a NEW query on
+    // the same checkpoint — correct intervals over the full history
+    // require run 1's observation state to have been restored
+    val (run1, run2) = events.partition(_.snap <= 4)
+    val dir = Files.createTempDirectory("scd_restart").toString
+    val ckpt = s"$dir/ckpt"
+    def startQuery(tag: String) = {
+      val src = spark.readStream
+        .schema("url STRING, snap LONG, h STRING, deleted BOOLEAN")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$dir/in/*/*.parquet")
+        .as[ScdEvent]
+      StreamingExtract.scdStream(src).toDF()
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          b.write.mode("overwrite").parquet(s"$dir/out/$tag-$id")
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
+    run1.toDS().coalesce(1).write.parquet(s"$dir/in/r1chunk")
+    startQuery("r1").awaitTermination()
+    run2.toDS().coalesce(1).write.parquet(s"$dir/in/r2chunk")
+    startQuery("r2").awaitTermination()
+    val out2 = spark.read.parquet(s"$dir/out/r2-*").collect()
+    assert(out2.nonEmpty)
+    def ivSet(row: org.apache.spark.sql.Row): Set[(String, Long, Option[Long])] =
+      row.getSeq[org.apache.spark.sql.Row](2).map { iv =>
+        (iv.getString(0), iv.getLong(1),
+          if (iv.isNullAt(2)) None else Some(iv.getLong(2)))
+      }.toSet
+    val byUrl = events.groupBy(_.url)
+    val latest2 = out2.groupBy(_.getString(0)).map { case (u, rows) =>
+      (u, rows.maxBy(_.getLong(1)))
+    }
+    latest2.foreach { case (u, row) =>
+      val want = localIntervals(byUrl(u).map(e => (e.snap, e.h, e.deleted)))
+      assert(ivSet(row) == want, s"url $u lost run-1 state")
+    }
+    // non-vacuous: a run-2-touched url must carry run-1 observations,
+    // and some interval must SPAN the restart (opened <= 4, still
+    // reshaped or closed by a run-2 snapshot)
+    assert(latest2.keys.exists(u => run1.exists(_.url == u)))
+    assert(latest2.exists { case (u, row) =>
+      run1.exists(_.url == u) && ivSet(row).exists(iv =>
+        iv._2 <= 4 && iv._3.exists(_ >= 5))
+    }, "no interval spans the restart boundary — weak fixture")
+  }
+
   test("x37 streaming aggregate == oracle-verified q77 batch rows (sf0.001)") {
     val sf = "/root/testdata/sf0.001"
     def rows(name: String) =
