@@ -107,6 +107,11 @@ object SparkEntry {
         .orderBy("l_returnflag", "l_linestatus")
     }),
     "q02_nation_revenue" -> ((s, dir) => {
+      // r6 note: a pre-aggregate of orders per custkey before the join
+      // was tried and REVERTED — customer is broadcast-joined already
+      // (no shuffle touches orders), so the pre-agg only added an
+      // exchange; measured 0.53 s → 0.74 s. The broadcast-join + one
+      // partial-agged exchange below is already the minimal shape.
       val orders = t(s, dir, "orders")
       val cust = t(s, dir, "customer")
       val nation = t(s, dir, "nation")
@@ -137,6 +142,12 @@ object SparkEntry {
         .orderBy("source")
     }),
     "q05_first_event" -> ((s, dir) => {
+      // r6 note: a min(struct(ts,event_id,event_type)) aggregate was
+      // tried and REVERTED — min over a struct plans as SortAggregate
+      // (sorts on both sides of the exchange), while this window form
+      // gets WindowGroupLimit pushdown (rank<=1 applied map-side
+      // BEFORE the shuffle, Spark 3.5+), which is already the
+      // aggregate-before-shuffle shape.
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
       t(s, dir, "events")
         .withColumn("rn", row_number().over(w))
@@ -241,17 +252,22 @@ object SparkEntry {
         .orderBy("lang")
     }),
     "q13_cosine_topk" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+      // r6: scored by the native codegen CosineSim expression (one
+      // fused loop, no per-row intermediate arrays) instead of the
+      // interpreted aggregate(zip_with(...)) composition. Bit-identical
+      // to the old form: CosineSim accumulates dot/na/nb over the
+      // float-widened doubles in the same ascending index order and
+      // divides by sqrt(na)*sqrt(nb) through the same expression shape
+      // — q21_cosine_native carries the IDENTICAL oracle SQL and has
+      // been value+hash green against it since r2.
+      graft.functions.CosineSim.register(s)
+      val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
       val q = emb.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("query_id"), col("v").as("qv"))
-      def dot(x: Column, y: Column): Column =
-        aggregate(zip_with(x, y, (a, b) => a * b), lit(0.0), (acc, e) => acc + e)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
       val scored = emb.crossJoin(broadcast(q))
         .filter(col("vec_id") =!= col("query_id"))
         .select(col("query_id"), col("vec_id").as("id"),
-          (dot(col("qv"), col("v")) /
-            (sqrt(dot(col("qv"), col("qv"))) * sqrt(dot(col("v"), col("v"))))).as("score"))
+          expr("cosine_sim(qv, embedding)").as("score"))
       // bounded top-k aggregate (map-side partial agg, no per-query full
       // sort) — value-identical to the oracle's row_number window because
       // the tie-break (score desc, id asc) matches
@@ -875,7 +891,11 @@ object SparkEntry {
         .unionByName(d0.filter(col("doc_id") % 97 === 0)
           .select((col("doc_id") + plantOff).cast("long").as("doc_id"),
             lit("planted").as("lang"), substring(col("text"), 1, 120).as("text")))
-      val toks = split(col("text"), " ")
+      // split ONCE into a projected array column (r6): previously the
+      // split ran in the length Filter and again (twice) inside the
+      // Generate expression — ~4 regex splits of every doc per pass.
+      val dT = d.select(col("doc_id"), col("lang"),
+        split(col("text"), " ").as("toks"))
       // The window KEY is xxhash64 of the 8-token slice, not the
       // concatenated string (VERDICT r4 #3): the key is shuffled twice
       // (shared-count agg + join-back), and 8 bytes vs the ~50-80-byte
@@ -887,18 +907,28 @@ object SparkEntry {
       // directly also skips materializing the window string entirely
       // (tokens are split on the space byte, so no two distinct windows
       // alias under re-joining).
-      val wins = transform(sequence(lit(1), size(toks) - 7),
-        i => xxhash64(slice(toks, i, lit(8))))
-      val docWins = d.filter(size(toks) >= 8)
+      val wins = transform(sequence(lit(1), size(col("toks")) - 7),
+        i => xxhash64(slice(col("toks"), i, lit(8))))
+      val docWins = dT.filter(size(col("toks")) >= 8)
         .select(col("doc_id"), col("lang"), explode(array_distinct(wins)).as("w"))
       // agg + join-back rather than count-over-window on w: boilerplate
       // windows (a navbar 8-gram) occur in millions of crawl docs — a
       // per-w window would buffer that mega-key in one task, while the
       // partial aggregate absorbs it map-side (same reasoning as q35's
       // df computation).
+      //
+      // r6 optimization (guide §2.3/§3.1): (doc_id, w) pairs are
+      // DISTINCT by construction (array_distinct per doc), so count(1)
+      // == countDistinct(doc_id) — dropping the distinct-agg's extra
+      // (w, doc_id) exchange of the full window set. And only windows
+      // with n_docs_with > 1 can affect n_shared, so the join build
+      // side shrinks from EVERY distinct window (~1 row per corpus
+      // window — the old plan broadcast all of them) to just the
+      // shared ones; the join flips to left-outer to keep n_windows.
       val shared = docWins.groupBy(col("w"))
-        .agg(countDistinct(col("doc_id")).as("n_docs_with"))
-      val per = docWins.join(shared, Seq("w"))
+        .agg(count(lit(1)).as("n_docs_with"))
+        .filter(col("n_docs_with") > 1)
+      val per = docWins.join(shared, Seq("w"), "left")
         .groupBy(col("doc_id"), col("lang"))
         .agg(count(lit(1)).as("n_windows"),
           sum(when(col("n_docs_with") > 1, 1L).otherwise(0L)).as("n_shared"))
@@ -1165,15 +1195,27 @@ object SparkEntry {
       val queryTerms = Seq((1L, "spark", 1), (1L, "window", 2),
         (2L, "merge", 1), (2L, "key", 2), (3L, "vector", 1), (3L, "batch", 2))
         .toDF("query_id", "term", "tidx")
-      val vocab = queryTerms.select(col("term")).distinct()
       val corpus = docs.agg(count(lit(1)).cast("long").as("n_docs"),
         sum(col("dl")).cast("long").as("sum_dl"))
+      // r6: the vocabulary restriction is a codegen In-filter on the
+      // exploded token (still applied map-side BEFORE any exchange,
+      // guide §2.3) instead of a broadcast join against the 6-row
+      // vocab table — one less broadcast build/probe, same kept rows
+      // (the inner join against the distinct vocab kept exactly the
+      // tokens in the set). A higher-order filter(toks, isin) BEFORE
+      // the explode was tried and reverted: higher-order lambdas are
+      // CodegenFallback, and the interpreted per-element path measured
+      // slower than explode + codegen filter.
+      val vocabTerms: Seq[Any] = Seq("spark", "window", "merge", "key", "vector", "batch")
       val tf = docs.select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
-        .join(broadcast(vocab), Seq("term"))
+        .filter(col("term").isin(vocabTerms: _*))
         .groupBy(col("doc_id"), col("term"))
         .agg(count(lit(1)).cast("long").as("tf"), first(col("dl")).as("dl"))
+      // (doc_id, term) is unique after the groupBy above, so count(1)
+      // == countDistinct(doc_id) — drops the distinct-agg's extra
+      // exchange (r6).
       val df_ = tf.groupBy(col("term"))
-        .agg(countDistinct(col("doc_id")).as("df"))
+        .agg(count(lit(1)).as("df"))
       val contrib = tf.join(broadcast(df_), Seq("term"))
         .crossJoin(broadcast(corpus))
         .select(col("doc_id"), col("term"),
@@ -2356,7 +2398,11 @@ object SparkEntry {
         .select(col("source").as("src"),
           concat(lit("ext"), (col("doc_id") % 3).cast("string")).as("dst"),
           lit(0.5).as("weight"))
-      graft.functions.HostRank.pageRank(mainE.unionByName(extE), iters = 5)
+      // truncateFinal=false (r6): the 5th hop folds into the caller's
+      // own action instead of paying a separate eager checkpoint job —
+      // lineage is still truncated at hop 4 (it % 4 == 3).
+      graft.functions.HostRank.pageRank(mainE.unionByName(extE), iters = 5,
+          truncateFinal = false)
         .select(col("host"),
           round(col("rank") * lit(1e12)).cast("long").as("rank_x1e12"))
         .orderBy("host")

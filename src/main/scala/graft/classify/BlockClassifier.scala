@@ -23,16 +23,21 @@ object BlockClassifier {
   final val MinListItemWords = 2
 
   /** Tags that are content whenever they carry text and pass the
-    * link-density gate. */
-  private val contentTags = Set("p", "pre", "blockquote", "table", "caption",
-    "figcaption", "td", "summary")
+    * link-density gate. r6: a literal match (compiles to a hashCode
+    * switch over mostly hash-memoized interned names) instead of an
+    * immutable-Set trie walk — keep() runs once per block per doc. */
+  private def isContentTag(k: String): Boolean = k match {
+    case "p" | "pre" | "blockquote" | "table" | "caption" |
+         "figcaption" | "td" | "summary" => true
+    case _ => false
+  }
 
   def keep(b: Block): Boolean = {
     if (b.text.isEmpty) false
     else if (b.inBoilerplateContainer) false
     else if (b.linkDensity > MaxLinkDensity) false
     else if (b.headingLevel > 0) b.words >= 1
-    else if (contentTags.contains(b.kind)) true
+    else if (isContentTag(b.kind)) true
     else if (b.kind == "li" || b.kind == "dt" || b.kind == "dd")
       b.words >= MinListItemWords && b.linkDensity <= 0.2
     else b.words >= MinFreeTextWords

@@ -87,26 +87,30 @@ object Extractor {
   private def extractHtml(bytes: Array[Byte], mode: ExtractMode): ExtractResult = {
     val blocks = Dom.blocksStreaming(bytes) // fused: no token list (DiagPhase)
     // mode-specific selection predicate (density gate unless the user
-    // pointed at a region — reference '[red] OCR:' / box prompts)
-    val select: Block => Boolean = mode match {
+    // pointed at a region — reference '[red] OCR:' / box prompts).
+    // Takes the already-computed keep verdict so the classifier runs
+    // ONCE per block (r6: it previously ran twice on the Plain path —
+    // once for metrics, once inside select).
+    val select: (Block, Boolean) => Boolean = mode match {
       case ExtractMode.Color(color) =>
-        b => b.text.nonEmpty && !b.inBoilerplateContainer && matchesColor(b, color)
+        (b, _) => b.text.nonEmpty && !b.inBoilerplateContainer && matchesColor(b, color)
       case ExtractMode.Box(x1, x2) =>
         val (from, until) = ExtractMode.byteWindow(bytes.length.toLong, x1, x2)
-        b => BlockClassifier.keep(b) && b.startByte >= from && b.endByte <= until
-      case _ => BlockClassifier.keep
+        (b, k) => k && b.startByte >= from && b.endByte <= until
+      case _ => (_, k) => k
     }
     val format = mode == ExtractMode.Format
     // single pass: select -> repeat-suppress -> render -> span, no
     // intermediate block Vectors (per-doc allocation is the scale cost)
-    val sb = new java.lang.StringBuilder
+    val sb = new java.lang.StringBuilder(4096) // preallocated (r6)
     val spans = Vector.newBuilder[Span]
     var seen: scala.collection.mutable.HashSet[String] = null // lazy: rare
     var kept = 0L; var dropped = 0L; var keptChars = 0L
     blocks.foreach { b =>
-      if (BlockClassifier.keep(b)) { kept += 1; keptChars += b.text.length }
+      val isKeep = BlockClassifier.keep(b)
+      if (isKeep) { kept += 1; keptChars += b.text.length }
       else dropped += 1
-      if (select(b)) {
+      if (select(b, isKeep)) {
         val repeat = b.words >= NoRepeatWords && {
           if (seen == null) seen = scala.collection.mutable.HashSet.empty[String]
           !seen.add(b.text)

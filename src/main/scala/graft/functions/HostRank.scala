@@ -59,8 +59,20 @@ object HostRank {
       .select(col("src"), col("dst"), (col("w_q") / col("out_w_q")).as("frac"))
       .persist()
     weighted.count()
+    // r6: the dangling classification (host has no outlink) is FIXED
+    // for the whole run, so it is computed ONCE here as a boolean on
+    // the node table and carried through every hop's rank rows —
+    // previously each hop re-derived it with a left_anti join against
+    // the src set (one join + one distinct per hop). Same host
+    // partition, same integer sums, bit-identical ranks.
+    val srcSet = e.select(col("src")).distinct()
+      .withColumn("has_out", lit(true))
+      .withColumnRenamed("src", "host")
     val nodes = e.select(col("src").as("host"))
-      .unionByName(e.select(col("dst").as("host"))).distinct().persist()
+      .unionByName(e.select(col("dst").as("host"))).distinct()
+      .join(srcSet, Seq("host"), "left")
+      .select(col("host"), coalesce(col("has_out"), lit(false)).as("has_out"))
+      .persist()
     val n = nodes.count()
     e.unpersist()
     // loud failure beats Infinity ranks from 1/0 (the IvfIndex seeding
@@ -72,15 +84,28 @@ object HostRank {
         "HostRank.pageRank: no hosts to rank (empty edge list, or every weight quantized to zero)")
     }
     val base = (1.0 - damping) / n
-    val srcs = weighted.select(col("src")).distinct()
-    var ranks = truncate0(nodes.select(col("host"), lit(1.0 / n).as("rank")))
-    var prev: DataFrame = null
+    var ranks = truncate0(
+      nodes.select(col("host"), lit(1.0 / n).as("rank"), col("has_out")))
+    // r6: non-checkpoint iterations persist LAZILY instead of
+    // persist+count — each eager count was a full driver action (job
+    // + scheduling) per hop, the dominant cost of a small-graph run
+    // (q76 bench: 5 hops, ~10 actions). The caches fill during the
+    // next checkpoint's job: each hop's dangling broadcast is built
+    // before the main stage and materializes the previous hop's rank
+    // partitions on the way, so within-job consumers still reuse
+    // rather than recompute; shuffle/broadcast exchanges between hops
+    // are additionally deduped by Spark's exchange reuse. Lineage is
+    // still truncated every 4th hop, bounding recompute depth.
+    // Unpersists move to AFTER the loop: releasing a lazily-persisted
+    // hop before any action has run would silently discard the cache.
+    val pinnedHops = scala.collection.mutable.ArrayBuffer[DataFrame]()
     var it = 0
     while (it < iters) {
       // dangling hosts (no outlinks) spread their mass uniformly; the
       // one-row aggregate rides the SAME job as the contribution join
-      // via a broadcast cross join — one action per hop
-      val dangling = ranks.join(srcs, ranks("host") === srcs("src"), "left_anti")
+      // via a broadcast cross join — a map-side filter on the carried
+      // has_out flag (r6), no join
+      val dangling = ranks.filter(!col("has_out"))
         .agg(coalesce(sum(round(col("rank") * Q).cast("long")), lit(0L)).as("dangling_q"))
       val inflow = ranks.join(weighted, ranks("host") === weighted("src"))
         .select(col("dst").as("host"),
@@ -92,17 +117,16 @@ object HostRank {
         .select(col("host"),
           (lit(base) + lit(damping) *
             (coalesce(col("inflow_q"), lit(0L)) / Q +
-              col("dangling_q") / lit(Q) / lit(n.toDouble))).as("rank"))
+              col("dangling_q") / lit(Q) / lit(n.toDouble))).as("rank"),
+          col("has_out"))
       val truncate = (it % 4 == 3 || it == iters - 1) &&
         (truncateFinal || it != iters - 1)
       val next = if (truncate) truncate0(nextRaw)
-        else { val p = nextRaw.persist(); p.count(); p }
-      if (prev != null) { prev.unpersist(); prev = null }
-      if (!truncate) prev = next
+        else { val p = nextRaw.persist(); pinnedHops += p; p }
       ranks = next
       it += 1
     }
-    if (prev != null) prev.unpersist()
+    pinnedHops.foreach(_.unpersist())
     // release pinned executor storage: with truncateFinal the returned
     // ranks are checkpoint-materialized and depend on neither; without
     // it the lineage can recompute them (slower, never wrong). A
@@ -111,7 +135,7 @@ object HostRank {
     // lesson).
     weighted.unpersist()
     nodes.unpersist()
-    ranks
+    ranks.select(col("host"), col("rank"))
   }
 
   /** Driver-side reference implementation (tests): identical

@@ -54,33 +54,101 @@ object Dom {
   /** Semantic-HTML5 boilerplate containers (classifier hard-drop). */
   private val boilerContainers = Set("nav", "footer", "aside", "header", "form")
 
+  // r6: per-tag role flags resolved with ONE open-addressing probe
+  // instead of 3-4 immutable-Set lookups per tag event (Set.contains +
+  // String hashing walked the hash trie for every open AND close tag —
+  // ~10% of html kernel in the JFR profile). The table is seeded from
+  // the Sets above (which stay the source of truth); any name absent
+  // from every set probes to a null slot and returns 0. Same djb2 hash
+  // as the tokenizer's intern table; interned names hit the `eq`
+  // fast path.
+  private final val FSuppress = 1
+  private final val FBlock = 2
+  private final val FBoiler = 4
+  private final val FVoid = 8
+  private final val FlagMask = 255
+  private val flagNames = new Array[String](FlagMask + 1)
+  private val flagVals = new Array[Int](FlagMask + 1)
+  locally {
+    def add(n: String, f: Int): Unit = {
+      var h = 5381; var i = 0
+      while (i < n.length) { h = h * 33 + n.charAt(i); i += 1 }
+      var slot = h & FlagMask
+      while (flagNames(slot) != null && flagNames(slot) != n)
+        slot = (slot + 1) & FlagMask
+      flagNames(slot) = n
+      flagVals(slot) |= f
+    }
+    suppressTags.foreach(add(_, FSuppress))
+    blockTags.foreach(add(_, FBlock))
+    boilerContainers.foreach(add(_, FBoiler))
+    Html5Tokenizer.voidElements.foreach(add(_, FVoid))
+  }
+  @inline private def tagFlags(name: String): Int = {
+    var h = 5381; var i = 0
+    while (i < name.length) { h = h * 33 + name.charAt(i); i += 1 }
+    var slot = h & FlagMask
+    var e = flagNames(slot)
+    while (e != null) {
+      if ((e eq name) || e == name) return flagVals(slot)
+      slot = (slot + 1) & FlagMask
+      e = flagNames(slot)
+    }
+    0
+  }
+
   private final val BrSentinel = '\u0001'
+
+  /** Per-thread scratch for normalize: input copy in [0, len), output in
+    * [len, len + outLen). The r6 kernel profile put normalize at ~15% of
+    * html extraction — per-char virtual charAt on the CharSequence plus
+    * per-char StringBuilder appends (capacity/coder checks); a bulk
+    * getChars into a flat array and a primitive write loop removes both.
+    * normalize fully consumes the scratch before returning (the result
+    * String is copied out), so reuse within a thread is safe — same
+    * contract as the tokenizer's decode scratch. */
+  private val normScratch = new ThreadLocal[Array[Char]] {
+    override def initialValue(): Array[Char] = new Array[Char](16 * 1024)
+  }
 
   /** Collapse [ \t\n\r\f]+ → ' ', honor BR sentinels as hard newlines;
     * leading/trailing hard newlines are stripped. Single streaming pass
     * (this runs once per block — no regex, no intermediate strings). */
   private[graft] def normalize(raw: CharSequence): String = {
     val len = raw.length
-    val b = new java.lang.StringBuilder(len)
+    if (len == 0) return ""
+    var buf = normScratch.get()
+    if (buf.length < 2 * len) {
+      buf = new Array[Char](2 * len + (len >> 1))
+      normScratch.set(buf)
+    }
+    raw match {
+      case sb: java.lang.StringBuilder => sb.getChars(0, len, buf, 0)
+      case s: String                   => s.getChars(0, len, buf, 0)
+      case _ =>
+        var ci = 0
+        while (ci < len) { buf(ci) = raw.charAt(ci); ci += 1 }
+    }
+    val out = len // output region base
+    var k = 0     // output length
     var ws = false
     var i = 0
     while (i < len) {
-      val c = raw.charAt(i)
+      val c = buf(i)
       if (c == BrSentinel) {
-        if (b.length > 0) b.append('\n') // skip leading hard newlines
+        if (k > 0) { buf(out + k) = '\n'; k += 1 } // skip leading hard newlines
         ws = false
       } else if (c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f') {
         ws = true
       } else {
-        if (ws && b.length > 0 && b.charAt(b.length - 1) != '\n') b.append(' ')
+        if (ws && k > 0 && buf(out + k - 1) != '\n') { buf(out + k) = ' '; k += 1 }
         ws = false
-        b.append(c)
+        buf(out + k) = c; k += 1
       }
       i += 1
     }
-    var end = b.length
-    while (end > 0 && b.charAt(end - 1) == '\n') end -= 1
-    b.substring(0, end)
+    while (k > 0 && buf(out + k - 1) == '\n') k -= 1
+    new String(buf, out, k)
   }
 
   /** Replay a materialized token list into the block builder — kept for
@@ -127,7 +195,9 @@ object Dom {
     private var curStyle = ""
     private var curElemStart = 0L
     private var curElemEnd = 0L
-    private val curText = new java.lang.StringBuilder
+    // preallocated (r6): default 16-char capacity re-grew via byte[]
+    // copies on every document
+    private val curText = new java.lang.StringBuilder(4096)
     private var curLink = 0
     private var spanStart = -1L
     private var spanEnd = -1L
@@ -180,8 +250,9 @@ object Dom {
 
     def tagOpen(t: TagOpen): Unit = {
         val name = t.name
-        if (suppressTags.contains(name)) {
-          if (!t.selfClosing && !Html5Tokenizer.voidElements.contains(name)) suppressDepth += 1
+        val fl = tagFlags(name)
+        if ((fl & FSuppress) != 0) {
+          if (!t.selfClosing && (fl & FVoid) == 0) suppressDepth += 1
         } else if (suppressDepth == 0) {
           if (name == "table") {
             if (tableDepth == 0) {
@@ -209,9 +280,9 @@ object Dom {
             linkDepth += 1
             // links never nest in practice; guard runaway depth
             if (linkDepth > 32) linkDepth = 32
-          } else if (blockTags.contains(name)) {
+          } else if ((fl & FBlock) != 0) {
             flush(0L)
-            if (boilerContainers.contains(name)) boilerDepth += 1
+            if ((fl & FBoiler) != 0) boilerDepth += 1
             stack += name
             startBlock(name, t.attrOrEmpty("class"), t.attrOrEmpty("style"), t.startByte.toLong)
           }
@@ -220,7 +291,8 @@ object Dom {
     }
 
     def tagClose(name: String, startByte: Int, endByte: Int): Unit = {
-        if (suppressTags.contains(name)) {
+        val fl = tagFlags(name)
+        if ((fl & FSuppress) != 0) {
           if (suppressDepth > 0) suppressDepth -= 1
         } else if (suppressDepth == 0) {
           if (name == "table") {
@@ -246,9 +318,9 @@ object Dom {
             }
           } else if (name == "a") {
             if (linkDepth > 0) linkDepth -= 1
-          } else if (blockTags.contains(name)) {
+          } else if ((fl & FBlock) != 0) {
             flush(endByte.toLong)
-            if (boilerContainers.contains(name) && boilerDepth > 0) boilerDepth -= 1
+            if ((fl & FBoiler) != 0 && boilerDepth > 0) boilerDepth -= 1
             val idx = stack.lastIndexOf(name)
             if (idx >= 0) stack.remove(idx, stack.length - idx)
             startBlock(if (stack.nonEmpty) stack.last else "body", "", "", endByte.toLong)
@@ -260,14 +332,14 @@ object Dom {
         if (suppressDepth == 0) {
           if (tableDepth > 0) {
             if (inCell) {
-              tblCell.append(cs)
+              Html5Tokenizer.appendTo(tblCell, cs)
               if (hasNonWs(cs)) {
                 if (tblSpanStart < 0) tblSpanStart = startByte.toLong
                 tblSpanEnd = endByte.toLong
               }
             }
           } else {
-            curText.append(cs)
+            Html5Tokenizer.appendTo(curText, cs)
             if (linkDepth > 0) curLink += cs.length
             if (hasNonWs(cs)) {
               if (spanStart < 0) spanStart = startByte.toLong

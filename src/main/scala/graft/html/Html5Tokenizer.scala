@@ -54,15 +54,79 @@ object Html5Tokenizer {
   val voidElements: Set[String] = Set("area", "base", "br", "col", "embed",
     "hr", "img", "input", "link", "meta", "param", "source", "track", "wbr")
 
+  // r6: rawtext/rcdata membership as one open-addressing probe (same
+  // djb2 table shape as Dom's tag-flag table) instead of two
+  // immutable-Set trie walks per non-self-closing start tag.
+  private final val FRawtext = 1
+  private final val FRcdata = 2
+  private final val ModeMask = 63
+  private val modeNames = new Array[String](ModeMask + 1)
+  private val modeVals = new Array[Int](ModeMask + 1)
+  locally {
+    def add(n: String, f: Int): Unit = {
+      var slot = internHash(n) & ModeMask
+      while (modeNames(slot) != null && modeNames(slot) != n)
+        slot = (slot + 1) & ModeMask
+      modeNames(slot) = n
+      modeVals(slot) |= f
+    }
+    rawText.foreach(add(_, FRawtext))
+    rcdata.foreach(add(_, FRcdata))
+  }
+  @inline private def contentMode(name: String): Int = {
+    var h = 5381; var i = 0
+    while (i < name.length) { h = h * 33 + name.charAt(i); i += 1 }
+    var slot = h & ModeMask
+    var e = modeNames(slot)
+    while (e != null) {
+      if ((e eq name) || e == name) return modeVals(slot)
+      slot = (slot + 1) & ModeMask
+      e = modeNames(slot)
+    }
+    0
+  }
+
   /** Sniff charset from a `charset=` occurrence in the head bytes;
     * defaults to UTF-8. Supported: utf-8, iso-8859-1/latin-1, windows-1252
-    * (decoded as latin-1 superset; the 0x80-0x9f block maps via cp1252). */
+    * (decoded as latin-1 superset; the 0x80-0x9f block maps via cp1252).
+    *
+    * r6: the match position is found with an allocation-free
+    * ASCII-case-insensitive byte scan — the old form decoded + lowercased
+    * a 2 KB head String per document (~5% of kernel in the JFR profile);
+    * only the tiny value window after a hit is decoded now. The scan
+    * matches exactly where `ISO-8859-1-decode → toLowerCase → indexOf`
+    * matched: the pattern is pure ASCII, and Latin-1 case mapping is
+    * 1:1 in length, so positions coincide and non-ASCII bytes (whose
+    * lowercase forms stay outside ASCII) never alias into the pattern. */
+  private final val CharsetLit = "charset=".toCharArray
   def sniffCharset(bytes: Array[Byte]): String = {
     val n = math.min(bytes.length, 2048)
-    val head = new String(bytes, 0, n, java.nio.charset.StandardCharsets.ISO_8859_1).toLowerCase
-    val i = head.indexOf("charset=")
-    if (i < 0) return "utf-8"
-    var j = i + 8
+    var i = 0
+    val last = n - CharsetLit.length
+    var found = -1
+    while (found < 0 && i <= last) {
+      var k = 0
+      var ok = true
+      while (ok && k < CharsetLit.length) {
+        val b = bytes(i + k) & 0xff
+        val c = CharsetLit(k)
+        // letters match case-insensitively (ASCII only); '=' exactly
+        if (b != c && !(c >= 'a' && c <= 'z' && b == c - 32)) ok = false
+        k += 1
+      }
+      if (ok) found = i
+      i += 1
+    }
+    if (found < 0) return "utf-8"
+    // decode just the value window with the ORIGINAL parse rules (quote
+    // skip + isLetterOrDigit/-/_ run). Known charset names are < 16
+    // chars; a window of 40 covers every match-or-reject identically
+    // (a letter run longer than the window cannot equal a known name
+    // either way — both paths fall through to utf-8).
+    val ws = found + CharsetLit.length
+    val we = math.min(ws + 40, n)
+    val head = new String(bytes, ws, we - ws, java.nio.charset.StandardCharsets.ISO_8859_1).toLowerCase
+    var j = 0
     if (j < head.length && (head.charAt(j) == '"' || head.charAt(j) == '\'')) j += 1
     val start = j
     while (j < head.length && (head.charAt(j).isLetterOrDigit || head.charAt(j) == '-' || head.charAt(j) == '_')) j += 1
@@ -219,26 +283,53 @@ object Html5Tokenizer {
     @inline def off(i: Int): Int = if (identity) i else bo(i)
     val n = d.nChars
 
-    // pending text accumulation
+    // pending text accumulation. r6: a text run that is ONE contiguous
+    // raw segment (the overwhelmingly common case — no entities, no
+    // CDATA splice) is never copied into the StringBuilder at all; it
+    // is emitted as a window view straight over the decode buffer
+    // (rawFrom/rawUntil pending below). Multi-segment runs materialize
+    // the pending segment first and fall back to the builder path.
     val text = new java.lang.StringBuilder
+    val window = new CharWindow(s)
+    var rawFrom = -1   // pending not-yet-copied raw segment
+    var rawUntil = -1
     var textStart = -1 // char index of first char in the run
     var textEnd = -1   // char index AFTER the last consumed char
+    @inline def materializeRaw(): Unit = {
+      if (rawFrom >= 0) {
+        text.append(s, rawFrom, rawUntil - rawFrom)
+        rawFrom = -1; rawUntil = -1
+      }
+    }
     @inline def flushText(): Unit = {
-      if (text.length > 0) {
-        sink.text(text, off(textStart), off(textEnd))
-        text.setLength(0)
+      if (text.length == 0 && rawFrom >= 0) {
+        window.set(rawFrom, rawUntil - rawFrom)
+        sink.text(window, off(textStart), off(textEnd))
+        rawFrom = -1; rawUntil = -1
+      } else {
+        materializeRaw()
+        if (text.length > 0) {
+          sink.text(text, off(textStart), off(textEnd))
+          text.setLength(0)
+        }
       }
       textStart = -1; textEnd = -1
     }
     @inline def addText(str: String, cs: Int, ce: Int): Unit = {
-      if (text.length == 0) textStart = cs
+      if (text.length == 0 && rawFrom < 0) textStart = cs
+      materializeRaw()
       text.append(str)
       textEnd = ce
     }
     // zero-copy variant for runs still sitting in the decode buffer
     @inline def addTextRaw(from: Int, until: Int): Unit = {
-      if (text.length == 0) textStart = from
-      text.append(s, from, until - from)
+      if (text.length == 0 && rawFrom < 0) {
+        textStart = from
+        rawFrom = from; rawUntil = until
+      } else {
+        materializeRaw()
+        text.append(s, from, until - from)
+      }
       textEnd = until
     }
 
@@ -327,7 +418,8 @@ object Html5Tokenizer {
                 // FusedPathFuzzSpec "<![CDATA[]]>" atom.
                 val bodyLen = math.max(0, (if (close >= 0) close else n) - (i + 9))
                 if (bodyLen > 0) {
-                  if (text.length == 0) textStart = i
+                  if (text.length == 0 && rawFrom < 0) textStart = i
+                  materializeRaw()
                   text.append(s, i + 9, bodyLen)
                   textEnd = end
                 }
@@ -365,8 +457,9 @@ object Html5Tokenizer {
               sink.tagOpen(tok)
               i = next
               if (!tok.selfClosing) {
-                if (rawText.contains(tok.name)) { rawMode = tok.name; rcdataMode = false }
-                else if (rcdata.contains(tok.name)) { rawMode = tok.name; rcdataMode = true }
+                val m = contentMode(tok.name)
+                if ((m & FRawtext) != 0) { rawMode = tok.name; rcdataMode = false }
+                else if ((m & FRcdata) != 0) { rawMode = tok.name; rcdataMode = true }
               }
             } else { addText("<", i, i + 1); i += 1 }
           }
@@ -493,7 +586,10 @@ object Html5Tokenizer {
     val nameStart = i
     while (i < n && (Character.isLetterOrDigit(s(i)) || s(i) == '-' || s(i) == ':')) i += 1
     val name = lowerString(s, nameStart, i - nameStart)
-    val attrs = List.newBuilder[(String, String)]
+    // r6: the builder is allocated only when a first attribute appears —
+    // most tags in crawl HTML carry none, and the ListBuffer-per-tag
+    // allocation showed in the kernel profile
+    var attrs: scala.collection.mutable.Builder[(String, String), List[(String, String)]] = null
     var selfClosing = false
     var done = false
     while (!done && i < n) {
@@ -525,11 +621,15 @@ object Html5Tokenizer {
             avalue = decodeEntities(new String(s, vs, i - vs))
           }
         }
-        if (aname.nonEmpty) attrs += (aname -> avalue)
+        if (aname.nonEmpty) {
+          if (attrs == null) attrs = List.newBuilder[(String, String)]
+          attrs += (aname -> avalue)
+        }
       }
     }
     val endCharIdx = math.min(i, n)
-    (TagOpen(name, attrs.result(), selfClosing, off(i0), off(endCharIdx)), i)
+    (TagOpen(name, if (attrs == null) Nil else attrs.result(),
+      selfClosing, off(i0), off(endCharIdx)), i)
   }
 
   def decodeEntities(v: String): String = {
@@ -550,5 +650,28 @@ object Html5Tokenizer {
     def charAt(i: Int): Char = a(i)
     def subSequence(s: Int, e: Int): CharSequence = new String(a, s, e - s)
     override def toString: String = new String(a, 0, n)
+  }
+
+  /** Bulk append of a sink text buffer into a builder: CharWindow goes
+    * through the char[] fast path (StringBuilder's generic CharSequence
+    * append is per-char). */
+  @inline def appendTo(b: java.lang.StringBuilder, cs: CharSequence): Unit = cs match {
+    case w: CharWindow => b.append(w.arr, w.from, w.length)
+    case _             => b.append(cs)
+  }
+
+  /** Reusable window view over the decode buffer for single-segment
+    * text runs (r6 zero-copy path). Valid only during the sink.text
+    * call, like every text buffer this tokenizer hands out. Consumers
+    * that bulk-copy (Dom's BlockSink) read `arr`/`from` directly. */
+  final class CharWindow(val arr: Array[Char]) extends CharSequence {
+    private var from0 = 0
+    private var len0 = 0
+    private[Html5Tokenizer] def set(from: Int, len: Int): Unit = { from0 = from; len0 = len }
+    def from: Int = from0
+    def length: Int = len0
+    def charAt(i: Int): Char = arr(from0 + i)
+    def subSequence(s: Int, e: Int): CharSequence = new String(arr, from0 + s, e - s)
+    override def toString: String = new String(arr, from0, len0)
   }
 }
