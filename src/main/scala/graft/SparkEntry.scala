@@ -232,14 +232,14 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
     "q12_ngram_jaccard" -> ((s, dir) => {
+      // r6: trigrams via the codegen word_ngrams expression (one fused
+      // loop) instead of the interpreted transform/element_at lambda;
+      // size<3 yields an empty gram array in both forms.
+      graft.functions.WordNgrams.register(s)
       val docs = t(s, dir, "documents")
       val grams = docs.select(col("doc_id"), col("lang"), split(col("text"), " ").as("w"))
         .select(col("doc_id"), col("lang"),
-          when(size(col("w")) < 3, array().cast("array<string>"))
-            .otherwise(array_distinct(transform(
-              sequence(lit(1), size(col("w")) - 2),
-              i => concat_ws(" ", element_at(col("w"), i),
-                element_at(col("w"), i + 1), element_at(col("w"), i + 2))))).as("g"))
+          array_distinct(expr("word_ngrams(w, 3)")).as("g"))
       val a = grams.select(col("doc_id"), col("lang"), col("g").as("ga"))
       val b = grams.select((col("doc_id") - 1).as("doc_id"), col("g").as("gb"))
       a.join(b, Seq("doc_id"))
@@ -562,10 +562,14 @@ object SparkEntry {
           .select((col("doc_id") + plantOff).cast("long").as("doc_id"),
             lit("planted").as("lang"),
             substring(col("text"), 1, 120).as("text")))
+      // r6: 5-grams via the codegen word_ngrams expression (one fused
+      // loop) instead of the interpreted transform/slice lambda; both
+      // branches only evaluate grams under a size >= 5 filter, where
+      // the forms are identical.
+      graft.functions.WordNgrams.register(s)
       val toks = split(col("text"), " ")
       val nW = size(toks)
-      val grams = transform(sequence(lit(1), nW - 4),
-        i => concat_ws(" ", slice(toks, i, lit(5))))
+      val grams = expr("word_ngrams(split(text, ' '), 5)")
       val benchGrams = d.filter(col("doc_id") % 101 === 0 && size(split(col("text"), " ")) >= 5)
         .select(explode(array_distinct(grams)).as("g")).distinct()
       val overlaps = corpus.filter(nW >= 5)
@@ -1401,14 +1405,16 @@ object SparkEntry {
       // materialize docScore to a table between the two passes (one
       // extra narrow write, same shuffles); the declarative form here
       // keeps the oracle query stateless.
+      // r6: bigrams via the codegen word_ngrams expression (one fused
+      // loop, no slice-allocated intermediates or interpreted zip_with
+      // lambda); concat(a,' ',b) == concat_ws(' ',a,b) on split's
+      // non-null tokens, and size<2 yields empty in both forms.
+      graft.functions.WordNgrams.register(s)
       val toks = t(s, dir, "documents")
         .select(col("doc_id").cast("long").as("doc_id"), col("lang"),
           split(col("text"), " ").as("t"))
       val bg = toks.select(col("doc_id"), col("lang"),
-        explode(zip_with(
-          slice(col("t"), lit(1), size(col("t")) - 1),
-          slice(col("t"), lit(2), size(col("t")) - 1),
-          (a, b) => concat(a, lit(" "), b))).as("bg"))
+        explode(expr("word_ngrams(t, 2)")).as("bg"))
       val bgc = bg.groupBy(col("lang"), col("bg"))
         .agg(count(lit(1)).as("cnt"))
       val docScore = bg.join(bgc, Seq("lang", "bg"))
@@ -2472,21 +2478,19 @@ object SparkEntry {
       val donors = t(s, dir, "documents")
         .select(col("doc_id").cast("long").as("doc_id"), col("lang"), col("text"))
         .filter(col("doc_id") % 17 === 0)
-      def grams3(c: Column): Column = {
-        val w = split(c, " ")
-        when(size(w) < 3, array().cast("array<string>"))
-          .otherwise(array_distinct(transform(sequence(lit(1), size(w) - 2),
-            i => concat_ws(" ", element_at(w, i), element_at(w, i + 1),
-              element_at(w, i + 2)))))
-      }
+      // r6: trigrams via the codegen word_ngrams expression (same
+      // rewrite as q12; size<3 empty in both forms)
+      graft.functions.WordNgrams.register(s)
+      def grams3(colName: String): Column =
+        array_distinct(expr(s"word_ngrams(split($colName, ' '), 3)"))
       val quoters = donors.select(col("doc_id"),
         concat(
           concat_ws(" ", slice(split(col("text"), " "), lit(1),
             (lit(10) + col("doc_id") % 20).cast("int"))),
           lit(" zz"), (col("doc_id") % 5).cast("string"),
           lit(" extra quoting comment trailer")).as("qtext"))
-      val a = donors.select(col("doc_id"), col("lang"), grams3(col("text")).as("ga"))
-      val b = quoters.select(col("doc_id"), grams3(col("qtext")).as("gb"))
+      val a = donors.select(col("doc_id"), col("lang"), grams3("text").as("ga"))
+      val b = quoters.select(col("doc_id"), grams3("qtext").as("gb"))
       a.join(b, Seq("doc_id"))
         .select(col("lang"),
           floor(lit(1000.0) * size(array_intersect(col("gb"), col("ga"))) /

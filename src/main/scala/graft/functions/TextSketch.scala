@@ -70,12 +70,50 @@ object TextSketch extends Serializable {
     * between O(k·len) and O(len + k) per shingle at 100 TB. */
   def minhashSignature(text: String, k: Int = MinHashK): Array[Long] = {
     val sig = Array.fill(k)(Long.MaxValue)
-    shingles(text).foreach { sh =>
-      val base = Hash64.xxh64(sh, 0xdedca42L)
+    @inline def accumulate(base: Long): Unit = {
       var i = 0
       while (i < k) {
         val h = mix64(base ^ (i * 0x9e3779b97f4a7c15L))
         if (h < sig(i)) sig(i) = h
+        i += 1
+      }
+    }
+    // r6: the shingle string is never materialized — each token's UTF-8
+    // bytes encode ONCE per document and every shingle hashes out of a
+    // reused byte buffer (token bytes + single ' ' separators). Byte-
+    // identical to xxh64(slice.mkString(" ").getBytes(UTF_8)): UTF-8
+    // encodes per code point, and whitespace-split tokens never split a
+    // surrogate pair, so concatenating per-token encodings with 0x20
+    // bytes equals encoding the concatenated string.
+    val t = tokensOf(text)
+    val n = ShingleWords
+    if (t.length < n) {
+      accumulate(Hash64.xxh64(t.mkString(" "), 0xdedca42L))
+    } else {
+      val tb = new Array[Array[Byte]](t.length)
+      var j = 0
+      while (j < t.length) {
+        tb(j) = t(j).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        j += 1
+      }
+      var buf = new Array[Byte](256)
+      var i = 0
+      val last = t.length - n
+      while (i <= last) {
+        var need = n - 1
+        var w = 0
+        while (w < n) { need += tb(i + w).length; w += 1 }
+        if (buf.length < need) buf = new Array[Byte](need + (need >> 1))
+        var pos = 0
+        w = 0
+        while (w < n) {
+          if (w > 0) { buf(pos) = ' '; pos += 1 }
+          val b = tb(i + w)
+          System.arraycopy(b, 0, buf, pos, b.length)
+          pos += b.length
+          w += 1
+        }
+        accumulate(Hash64.xxh64(buf, pos, 0xdedca42L))
         i += 1
       }
     }

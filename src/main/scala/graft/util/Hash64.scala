@@ -33,8 +33,12 @@ object Hash64 {
     acc * P1 + P4
   }
 
-  def xxh64(data: Array[Byte], seed: Long): Long = {
-    val len = data.length
+  def xxh64(data: Array[Byte], seed: Long): Long = xxh64(data, data.length, seed)
+
+  /** Range variant over data[0, len) — identical algorithm; lets callers
+    * hash out of a reused buffer (r6: the minhash kernel's per-shingle
+    * String + getBytes allocations were a measurable slice of x08). */
+  def xxh64(data: Array[Byte], len: Int, seed: Long): Long = {
     var i = 0
     var h = 0L
     if (len >= 32) {
