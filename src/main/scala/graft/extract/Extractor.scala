@@ -85,7 +85,7 @@ object Extractor {
   }
 
   private def extractHtml(bytes: Array[Byte], mode: ExtractMode): ExtractResult = {
-    val blocks = Dom.blocksStreaming(bytes) // fused: no token list (DiagPhase)
+    val blocks = Dom.blocksStreamingBuf(bytes) // fused: no token list (DiagPhase)
     // mode-specific selection predicate (density gate unless the user
     // pointed at a region — reference '[red] OCR:' / box prompts).
     // Takes the already-computed keep verdict so the classifier runs
@@ -106,7 +106,10 @@ object Extractor {
     val spans = Vector.newBuilder[Span]
     var seen: scala.collection.mutable.HashSet[String] = null // lazy: rare
     var kept = 0L; var dropped = 0L; var keptChars = 0L
-    blocks.foreach { b =>
+    var bi = 0
+    val bn = blocks.length
+    while (bi < bn) {
+      val b = blocks(bi)
       val isKeep = BlockClassifier.keep(b)
       if (isKeep) { kept += 1; keptChars += b.text.length }
       else dropped += 1
@@ -121,6 +124,7 @@ object Extractor {
           spans += Span(b.startByte, b.endByte, b.kind)
         }
       }
+      bi += 1
     }
     var text = sb.toString
     if (format) text = repairLeftRight(text)

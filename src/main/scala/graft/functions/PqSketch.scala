@@ -74,12 +74,21 @@ object PqSketch {
   def fit(emb: DataFrame, m: Int = 8, k: Int = 16, iters: Int = 2): Codebooks = {
     val spark = emb.sparkSession
     import spark.implicits._
+    // r6: pinned for the duration of fit ONLY (unpersisted before
+    // return) — each Lloyd iteration plus the seed scan previously
+    // re-read the parquet and re-normalized every vector; the cache is
+    // transient within this invocation, so repeated calls still compute
+    // from the source
     val vecs = emb.select(col("vec_id").cast("long"), col("embedding"))
       .as[(Long, Array[Float])]
       .map { case (id, v) => (id, l2normalize(v)) }
+      .persist()
     val seeds = vecs.orderBy(col("_1")).limit(k).collect().sortBy(_._1).map(_._2)
-    require(seeds.length >= 2,
-      s"PQ needs >= 2 seed vectors, got ${seeds.length} — input empty or near-empty")
+    if (seeds.length < 2) {
+      vecs.unpersist() // release before the loud failure
+      throw new IllegalArgumentException(
+        s"requirement failed: PQ needs >= 2 seed vectors, got ${seeds.length} — input empty or near-empty")
+    }
     val dim = seeds.head.length
     require(dim % m == 0, s"embedding dim $dim is not divisible by m=$m subspaces")
     val subDim = dim / m
@@ -114,6 +123,7 @@ object PqSketch {
       means.foreach { case (s, code, mean) => next(s)(code) = mean }
       cents = next
     }
+    vecs.unpersist()
     Codebooks(m, kEff, subDim, cents)
   }
 

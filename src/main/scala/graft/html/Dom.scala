@@ -180,6 +180,14 @@ object Dom {
     sink.result()
   }
 
+  /** Buffer variant for the extraction hot loop (r6): skips the
+    * Vector conversion; same blocks in the same order. */
+  private[graft] def blocksStreamingBuf(bytes: Array[Byte]): ArrayBuffer[Block] = {
+    val sink = new BlockSink
+    Html5Tokenizer.stream(bytes, sink)
+    sink.resultBuffer()
+  }
+
   /** The single block-building state machine, fed by tokenizer events. */
   final class BlockSink extends Html5Tokenizer.TokenSink {
     private val out = new ArrayBuffer[Block]
@@ -217,9 +225,15 @@ object Dom {
     private def flush(elemEnd: Long): Unit = {
       val text =
         if (curPre) {
-          val raw = curText.toString
-          val t = if (raw.startsWith("\n")) raw.substring(1) else raw
-          t.replace(BrSentinel, '\n')
+          // one copy + one in-place scan (r6) — was toString + substring
+          // + replace, up to three copies and two scans per pre block
+          val len = curText.length
+          val chars = new Array[Char](len)
+          curText.getChars(0, len, chars, 0)
+          val from = if (len > 0 && chars(0) == '\n') 1 else 0
+          var i = from
+          while (i < len) { if (chars(i) == BrSentinel) chars(i) = '\n'; i += 1 }
+          new String(chars, from, len - from)
         } else normalize(curText)
       if (text.nonEmpty) {
         out += Block(curKind, text, Vector.empty, curCls, curStyle, curLink,
@@ -349,9 +363,11 @@ object Dom {
         }
     }
 
-    def result(): Vector[Block] = {
+    def result(): Vector[Block] = resultBuffer().toVector
+
+    private[graft] def resultBuffer(): ArrayBuffer[Block] = {
       flush(0L)
-      out.toVector
+      out
     }
   }
 }
