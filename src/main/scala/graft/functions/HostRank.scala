@@ -43,7 +43,13 @@ object HostRank {
     * last iteration's full lineage (ExplainAll publishes the one-hop
     * plan as a reviewable artifact; a checkpoint would hide it). */
   def pageRank(edges: DataFrame, iters: Int = 10, damping: Double = 0.85,
-      truncateFinal: Boolean = true): DataFrame = {
+      truncateFinal: Boolean = true): DataFrame =
+    graft.util.SessionTuning.withCachedPlanAqe(edges.sparkSession) {
+      pageRankImpl(edges, iters, damping, truncateFinal)
+    }
+
+  private def pageRankImpl(edges: DataFrame, iters: Int, damping: Double,
+      truncateFinal: Boolean): DataFrame = {
     val spark = edges.sparkSession
     val truncate0 = Checkpoints.truncator(spark)
     // quantize each input weight BEFORE any aggregation: long sums are
@@ -55,37 +61,39 @@ object HostRank {
       .filter(col("w_q") > 0)
       .persist()
     val outW = e.groupBy(col("src")).agg(sum(col("w_q")).as("out_w_q"))
+    // r6b: weighted persists LAZILY — its cache fills from cached `e`
+    // during the first job that reads it (the hop-3 checkpoint), so the
+    // dedicated eager `weighted.count()` action is gone. `e` stays
+    // pinned until after the loop so that fill reads the cache, not the
+    // source.
     val weighted = e.join(outW, Seq("src"))
       .select(col("src"), col("dst"), (col("w_q") / col("out_w_q")).as("frac"))
       .persist()
-    weighted.count()
     // r6: the dangling classification (host has no outlink) is FIXED
     // for the whole run, so it is computed ONCE here as a boolean on
-    // the node table and carried through every hop's rank rows —
-    // previously each hop re-derived it with a left_anti join against
-    // the src set (one join + one distinct per hop). Same host
-    // partition, same integer sums, bit-identical ranks.
-    val srcSet = e.select(col("src")).distinct()
-      .withColumn("has_out", lit(true))
-      .withColumnRenamed("src", "host")
-    val nodes = e.select(col("src").as("host"))
-      .unionByName(e.select(col("dst").as("host"))).distinct()
-      .join(srcSet, Seq("host"), "left")
-      .select(col("host"), coalesce(col("has_out"), lit(false)).as("has_out"))
+    // the node table and carried through every hop's rank rows.
+    // r6b: built as ONE aggregation (max of a per-occurrence boolean)
+    // instead of distinct + distinct + left join — same host set, same
+    // has_out flag, two fewer exchanges inside the setup action.
+    val nodes = e.select(col("src").as("host"), lit(true).as("has_out"))
+      .unionByName(e.select(col("dst").as("host"), lit(false).as("has_out")))
+      .groupBy(col("host")).agg(max(col("has_out")).as("has_out"))
       .persist()
-    val n = nodes.count()
-    e.unpersist()
+    val n = nodes.count() // the ONLY setup action: fills e + nodes caches
     // loud failure beats Infinity ranks from 1/0 (the IvfIndex seeding
     // lesson: degenerate inputs must not produce silent garbage) — and
     // the failure path must release what it pinned
     if (n == 0) {
-      weighted.unpersist(); nodes.unpersist()
+      e.unpersist(); weighted.unpersist(); nodes.unpersist()
       throw new IllegalArgumentException(
         "HostRank.pageRank: no hosts to rank (empty edge list, or every weight quantized to zero)")
     }
     val base = (1.0 - damping) / n
-    var ranks = truncate0(
-      nodes.select(col("host"), lit(1.0 / n).as("rank"), col("has_out")))
+    // r6b: no eager checkpoint of the INITIAL ranks — it is a 1-deep
+    // projection over the pinned `nodes` cache, so truncating its
+    // lineage bought nothing and cost a full driver action; the hop
+    // truncation every 4th iteration still bounds recompute depth.
+    var ranks = nodes.select(col("host"), lit(1.0 / n).as("rank"), col("has_out"))
     // r6: non-checkpoint iterations persist LAZILY instead of
     // persist+count — each eager count was a full driver action (job
     // + scheduling) per hop, the dominant cost of a small-graph run
@@ -99,6 +107,21 @@ object HostRank {
     // Unpersists move to AFTER the loop: releasing a lazily-persisted
     // hop before any action has run would silently discard the cache.
     val pinnedHops = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    // r6b: in LOCAL mode (no reliable checkpoint dir) every hop is a
+    // LAZY localCheckpoint — the hop's logical plan collapses to a
+    // LogicalRDD leaf, so per-hop plans stay CONSTANT-size instead of
+    // doubling per hop (dangling + inflow each reference the previous
+    // ranks: depth-4 lineage meant ~2^4 copies of the setup subtree and
+    // a measured ~0.9 s optimizer stall before the checkpoint job, plus
+    // 0.2-0.3 s AQE replans of the mega-tree per late stage). Lazy means
+    // no dedicated driver action; AQE materializes the hop's exchange
+    // stages on construction and the final map segment runs inside
+    // whichever job consumes the hop. Hop storage is freed by the
+    // ContextCleaner when the run's references drop. With a reliable
+    // checkpoint dir set (fleet runs), the every-4th-hop EAGER
+    // checkpoint + lazy-persist design is kept: executor loss must not
+    // lose hop state, which localCheckpoint cannot guarantee.
+    val localMode = spark.conf.getOption(Checkpoints.ConfKey).isEmpty
     var it = 0
     while (it < iters) {
       // dangling hosts (no outlinks) spread their mass uniformly; the
@@ -119,10 +142,17 @@ object HostRank {
             (coalesce(col("inflow_q"), lit(0L)) / Q +
               col("dangling_q") / lit(Q) / lit(n.toDouble))).as("rank"),
           col("has_out"))
-      val truncate = (it % 4 == 3 || it == iters - 1) &&
-        (truncateFinal || it != iters - 1)
-      val next = if (truncate) truncate0(nextRaw)
-        else { val p = nextRaw.persist(); pinnedHops += p; p }
+      val last = it == iters - 1
+      val next =
+        if (localMode) {
+          if (last && !truncateFinal) nextRaw // folds into the caller's action
+          else if (last) truncate0(nextRaw)   // eager: contract says final is materialized
+          else nextRaw.localCheckpoint(eager = false)
+        } else {
+          val truncate = (it % 4 == 3 || last) && (truncateFinal || !last)
+          if (truncate) truncate0(nextRaw)
+          else { val p = nextRaw.persist(); pinnedHops += p; p }
+        }
       ranks = next
       it += 1
     }
@@ -133,6 +163,7 @@ object HostRank {
     // long-lived session invoking pageRank repeatedly must not
     // accumulate pinned node/weight sets (the r2 lshCandidatePairs
     // lesson).
+    e.unpersist()
     weighted.unpersist()
     nodes.unpersist()
     ranks.select(col("host"), col("rank"))

@@ -71,7 +71,12 @@ object PqSketch {
     * the k lowest vec_ids' subvectors — no dense-id assumption, the
     * IvfIndex seeding lesson). One distributed pass per iteration
     * computes ALL m subspace assignments. */
-  def fit(emb: DataFrame, m: Int = 8, k: Int = 16, iters: Int = 2): Codebooks = {
+  def fit(emb: DataFrame, m: Int = 8, k: Int = 16, iters: Int = 2): Codebooks =
+    graft.util.SessionTuning.withCachedPlanAqe(emb.sparkSession) {
+      fitImpl(emb, m, k, iters)
+    }
+
+  private def fitImpl(emb: DataFrame, m: Int, k: Int, iters: Int): Codebooks = {
     val spark = emb.sparkSession
     import spark.implicits._
     // r6: pinned for the duration of fit ONLY (unpersisted before
@@ -99,28 +104,33 @@ object PqSketch {
     val Q = 1e6
     (1 to iters).foreach { _ =>
       val cs = cents
+      // r6b: the per-iteration aggregation is RELATIONAL — the closure
+      // emits one row per (vector, subspace) with the quantized
+      // subvector, posexplode turns it into (s, code, pos, v_q) rows
+      // inside codegen, and a plain HashAggregate (partial map-side,
+      // m·k·subDim rows per partition) replaces the typed
+      // groupByKey/reduceGroups path (per-row Kryo tuples, boxed keys,
+      // cloned arrays). Same quantized longs, integer addition is
+      // associative → centroids bit-identical.
       val means = vecs
         .flatMap { case (_, v) =>
           cs.indices.iterator.map { s =>
             val code = nearestSub(cs(s), v, s * subDim, subDim)
             val sub = Array.tabulate(subDim)(i =>
               math.round(v(s * subDim + i).toDouble * Q))
-            ((s, code), (sub, 1L))
+            (s, code, sub)
           }
         }
-        .groupByKey(_._1)
-        .reduceGroups { (a, b) =>
-          val sArr = a._2._1.clone()
-          var i = 0
-          while (i < sArr.length) { sArr(i) += b._2._1(i); i += 1 }
-          (a._1, (sArr, a._2._2 + b._2._2))
-        }
-        .map { case ((s, code), (_, (sum, n))) =>
-          (s, code, sum.map(x => x.toDouble / (n * Q)))
-        }
-        .collect() // m*k rows — bounded
+        .toDF("s", "code", "sub")
+        .select(col("s"), col("code"), posexplode(col("sub")).as(Seq("pos", "v_q")))
+        .groupBy(col("s"), col("code"), col("pos"))
+        .agg(sum(col("v_q")).as("sum_q"), count(lit(1)).as("n"))
+        .collect() // m*k*subDim rows — bounded
       val next = Array.tabulate(m)(s => cs(s).clone())
-      means.foreach { case (s, code, mean) => next(s)(code) = mean }
+      means.foreach { r =>
+        val (s, code, pos) = (r.getInt(0), r.getInt(1), r.getInt(2))
+        next(s)(code)(pos) = r.getLong(3).toDouble / (r.getLong(4) * Q)
+      }
       cents = next
     }
     vecs.unpersist()
