@@ -72,9 +72,7 @@ object PqSketch {
     * IvfIndex seeding lesson). One distributed pass per iteration
     * computes ALL m subspace assignments. */
   def fit(emb: DataFrame, m: Int = 8, k: Int = 16, iters: Int = 2): Codebooks =
-    graft.util.SessionTuning.withCachedPlanAqe(emb.sparkSession) {
-      fitImpl(emb, m, k, iters)
-    }
+    fitImpl(emb, m, k, iters)
 
   private def fitImpl(emb: DataFrame, m: Int, k: Int, iters: Int): Codebooks = {
     val spark = emb.sparkSession
@@ -83,14 +81,22 @@ object PqSketch {
     // return) — each Lloyd iteration plus the seed scan previously
     // re-read the parquet and re-normalized every vector; the cache is
     // transient within this invocation, so repeated calls still compute
-    // from the source
-    val vecs = emb.select(col("vec_id").cast("long"), col("embedding"))
-      .as[(Long, Array[Float])]
+    // from the source.
+    // r6b: the fit loop runs on the RDD, not the DataFrame — each Lloyd
+    // iteration's plan captures the NEW centroids, so the Dataset form
+    // paid full Catalyst analysis/optimization/AQE per iteration
+    // (measured ~90-150 ms of driver planning per ~30 ms of actual
+    // work). An RDD treeAggregate is one planless job per iteration
+    // with a fixed-size accumulator, the classic distributed-Lloyd
+    // shape. Same math.round quantized-long sums, integer addition is
+    // associative → centroids bit-identical (PqSpec).
+    val vrdd = emb.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])].rdd
       .map { case (id, v) => (id, l2normalize(v)) }
       .persist()
-    val seeds = vecs.orderBy(col("_1")).limit(k).collect().sortBy(_._1).map(_._2)
+    val seeds = vrdd.takeOrdered(k)(Ordering.by(_._1)).sortBy(_._1).map(_._2)
     if (seeds.length < 2) {
-      vecs.unpersist() // release before the loud failure
+      vrdd.unpersist() // release before the loud failure
       throw new IllegalArgumentException(
         s"requirement failed: PQ needs >= 2 seed vectors, got ${seeds.length} — input empty or near-empty")
     }
@@ -102,38 +108,53 @@ object PqSketch {
       Array.tabulate(kEff)(j =>
         Array.tabulate(subDim)(i => seeds(j)(s * subDim + i).toDouble)))
     val Q = 1e6
+    // flat accumulator: per (s, code) a run of subDim quantized sums
+    // followed by the count — m·k·(subDim+1) longs, broadcast-tiny;
+    // treeAggregate keeps the driver merge bounded at fleet partition
+    // counts (layer-wise executor-side combine).
+    val accLen = m * kEff * (subDim + 1)
     (1 to iters).foreach { _ =>
       val cs = cents
-      // r6b: the per-iteration aggregation is RELATIONAL — the closure
-      // emits one row per (vector, subspace) with the quantized
-      // subvector, posexplode turns it into (s, code, pos, v_q) rows
-      // inside codegen, and a plain HashAggregate (partial map-side,
-      // m·k·subDim rows per partition) replaces the typed
-      // groupByKey/reduceGroups path (per-row Kryo tuples, boxed keys,
-      // cloned arrays). Same quantized longs, integer addition is
-      // associative → centroids bit-identical.
-      val means = vecs
-        .flatMap { case (_, v) =>
-          cs.indices.iterator.map { s =>
+      val acc = vrdd.treeAggregate(new Array[Long](accLen))(
+        seqOp = (a, rec) => {
+          val v = rec._2
+          var s = 0
+          while (s < m) {
             val code = nearestSub(cs(s), v, s * subDim, subDim)
-            val sub = Array.tabulate(subDim)(i =>
-              math.round(v(s * subDim + i).toDouble * Q))
-            (s, code, sub)
+            val base = (s * kEff + code) * (subDim + 1)
+            var i = 0
+            while (i < subDim) {
+              a(base + i) += math.round(v(s * subDim + i).toDouble * Q)
+              i += 1
+            }
+            a(base + subDim) += 1L
+            s += 1
           }
-        }
-        .toDF("s", "code", "sub")
-        .select(col("s"), col("code"), posexplode(col("sub")).as(Seq("pos", "v_q")))
-        .groupBy(col("s"), col("code"), col("pos"))
-        .agg(sum(col("v_q")).as("sum_q"), count(lit(1)).as("n"))
-        .collect() // m*k*subDim rows — bounded
+          a
+        },
+        combOp = (a, b) => {
+          var i = 0
+          while (i < accLen) { a(i) += b(i); i += 1 }
+          a
+        })
       val next = Array.tabulate(m)(s => cs(s).clone())
-      means.foreach { r =>
-        val (s, code, pos) = (r.getInt(0), r.getInt(1), r.getInt(2))
-        next(s)(code)(pos) = r.getLong(3).toDouble / (r.getLong(4) * Q)
+      var s = 0
+      while (s < m) {
+        var code = 0
+        while (code < kEff) {
+          val base = (s * kEff + code) * (subDim + 1)
+          val n = acc(base + subDim)
+          if (n > 0) {
+            next(s)(code) = Array.tabulate(subDim)(i =>
+              acc(base + i).toDouble / (n * Q))
+          }
+          code += 1
+        }
+        s += 1
       }
       cents = next
     }
-    vecs.unpersist()
+    vrdd.unpersist()
     Codebooks(m, kEff, subDim, cents)
   }
 
