@@ -32,6 +32,39 @@ object KBench {
         i += 1
       }
       out.close()
+    case "sum" =>
+      // output-identity checksum over a dump: total extracted chars and
+      // an order-sensitive FNV over every text — compare across kernel
+      // changes to prove byte-identical extraction beyond the goldens
+      val in = new DataInputStream(new BufferedInputStream(new FileInputStream(args(1)), 1 << 20))
+      var total = 0L
+      var fnv = 0xcbf29ce484222325L
+      try {
+        while (true) {
+          val len = in.readInt()
+          val b = new Array[Byte](len)
+          in.readFully(b)
+          Extractor.extract(b, ExtractMode.Plain) match {
+            case Right(res) =>
+              total += res.text.length
+              var i = 0
+              while (i < res.text.length) {
+                fnv = (fnv ^ res.text.charAt(i)) * 0x100000001b3L; i += 1
+              }
+              res.spans.foreach { sp =>
+                fnv = (fnv ^ sp.start) * 0x100000001b3L
+                fnv = (fnv ^ sp.end) * 0x100000001b3L
+              }
+            case Left(reason) =>
+              var i = 0
+              while (i < reason.length) {
+                fnv = (fnv ^ reason.charAt(i)) * 0x100000001b3L; i += 1
+              }
+          }
+        }
+      } catch { case _: java.io.EOFException => () }
+      in.close()
+      println(s"SUM total_chars=$total fnv=$fnv")
     case "run" =>
       val in = new DataInputStream(new BufferedInputStream(new FileInputStream(args(1)), 1 << 20))
       val docs = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]

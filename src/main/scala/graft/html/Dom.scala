@@ -25,8 +25,13 @@ final case class Block(
     startByte: Long,
     endByte: Long,
     elemStartByte: Long,
-    elemEndByte: Long) {
-  lazy val words: Int = if (text.isEmpty) 0 else {
+    elemEndByte: Long,
+    nSeps: Int = -1) {
+  // `nSeps` is the separator (' '/'\n') count of `text`, fused into the
+  // builder's normalize pass (r6b — `words` was a second full scan over
+  // every kept block's text, ~7% of the html kernel profile); -1 means
+  // "not precomputed" and falls back to the scan (table blocks, tests).
+  lazy val words: Int = if (text.isEmpty) 0 else if (nSeps >= 0) nSeps + 1 else {
     var c = 1; var i = 0
     while (i < text.length) { if (text.charAt(i) == ' ' || text.charAt(i) == '\n') c += 1; i += 1 }
     c
@@ -111,12 +116,29 @@ object Dom {
     override def initialValue(): Array[Char] = new Array[Char](16 * 1024)
   }
 
+  /** Per-thread block-text accumulator, reused across documents (r6b:
+    * the per-doc 4 KB StringBuilder still re-grew via byte[] copies on
+    * every large block — growth showed in the allocation profile; a
+    * thread-scratch builder grows once to the thread's max block size).
+    * Safe because a BlockSink fully consumes the builder within one
+    * blocks()/blocksStreaming() call (every block's text is copied out
+    * by flush) and sinks are never used interleaved on one thread. */
+  private val sinkTextScratch = new ThreadLocal[java.lang.StringBuilder] {
+    override def initialValue(): java.lang.StringBuilder = new java.lang.StringBuilder(8 * 1024)
+  }
+
   /** Collapse [ \t\n\r\f]+ → ' ', honor BR sentinels as hard newlines;
     * leading/trailing hard newlines are stripped. Single streaming pass
     * (this runs once per block — no regex, no intermediate strings). */
-  private[graft] def normalize(raw: CharSequence): String = {
+  private[graft] def normalize(raw: CharSequence): String = normalize(raw, null)
+
+  /** `sepsOut(0)`, when non-null, receives the separator (' '/'\n')
+    * count of the RETURNED string — computed on the emit branches only
+    * (the common write path pays nothing), so `Block.words` needs no
+    * second scan over the text. */
+  private[graft] def normalize(raw: CharSequence, sepsOut: Array[Int]): String = {
     val len = raw.length
-    if (len == 0) return ""
+    if (len == 0) { if (sepsOut != null) sepsOut(0) = 0; return "" }
     var buf = normScratch.get()
     if (buf.length < 2 * len) {
       buf = new Array[Char](2 * len + (len >> 1))
@@ -131,23 +153,25 @@ object Dom {
     }
     val out = len // output region base
     var k = 0     // output length
+    var seps = 0  // ' ' + '\n' emitted (word separators)
     var ws = false
     var i = 0
     while (i < len) {
       val c = buf(i)
       if (c == BrSentinel) {
-        if (k > 0) { buf(out + k) = '\n'; k += 1 } // skip leading hard newlines
+        if (k > 0) { buf(out + k) = '\n'; k += 1; seps += 1 } // skip leading hard newlines
         ws = false
       } else if (c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f') {
         ws = true
       } else {
-        if (ws && k > 0 && buf(out + k - 1) != '\n') { buf(out + k) = ' '; k += 1 }
+        if (ws && k > 0 && buf(out + k - 1) != '\n') { buf(out + k) = ' '; k += 1; seps += 1 }
         ws = false
         buf(out + k) = c; k += 1
       }
       i += 1
     }
-    while (k > 0 && buf(out + k - 1) == '\n') k -= 1
+    while (k > 0 && buf(out + k - 1) == '\n') { k -= 1; seps -= 1 }
+    if (sepsOut != null) sepsOut(0) = seps
     new String(buf, out, k)
   }
 
@@ -203,9 +227,8 @@ object Dom {
     private var curStyle = ""
     private var curElemStart = 0L
     private var curElemEnd = 0L
-    // preallocated (r6): default 16-char capacity re-grew via byte[]
-    // copies on every document
-    private val curText = new java.lang.StringBuilder(4096)
+    // thread-scratch, reused across documents (r6b — see sinkTextScratch)
+    private val curText = { val b = sinkTextScratch.get(); b.setLength(0); b }
     private var curLink = 0
     private var spanStart = -1L
     private var spanEnd = -1L
@@ -222,23 +245,32 @@ object Dom {
     private var tblSpanStart = -1L
     private var tblSpanEnd = -1L
 
+    private val sepsBox = new Array[Int](1)
+
     private def flush(elemEnd: Long): Unit = {
       val text =
         if (curPre) {
           // one copy + one in-place scan (r6) — was toString + substring
-          // + replace, up to three copies and two scans per pre block
+          // + replace, up to three copies and two scans per pre block;
+          // the scan also counts separators (r6b: fused Block.words)
           val len = curText.length
           val chars = new Array[Char](len)
           curText.getChars(0, len, chars, 0)
           val from = if (len > 0 && chars(0) == '\n') 1 else 0
+          var seps = 0
           var i = from
-          while (i < len) { if (chars(i) == BrSentinel) chars(i) = '\n'; i += 1 }
+          while (i < len) {
+            if (chars(i) == BrSentinel) chars(i) = '\n'
+            if (chars(i) == ' ' || chars(i) == '\n') seps += 1
+            i += 1
+          }
+          sepsBox(0) = seps
           new String(chars, from, len - from)
-        } else normalize(curText)
+        } else normalize(curText, sepsBox)
       if (text.nonEmpty) {
         out += Block(curKind, text, Vector.empty, curCls, curStyle, curLink,
           text.length, boilerDepth > 0, spanStart, spanEnd, curElemStart,
-          if (elemEnd > 0) elemEnd else spanEnd)
+          if (elemEnd > 0) elemEnd else spanEnd, nSeps = sepsBox(0))
       }
       curText.setLength(0); curLink = 0; spanStart = -1L; spanEnd = -1L
     }

@@ -120,4 +120,28 @@ class FusedPathFuzzSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("fused separator count (Block.nSeps) equals the scan definition of words") {
+    val r = new scala.util.Random(0x5e95L)
+    var checked = 0
+    (0 until 500).foreach { i =>
+      val s = soup(r)
+      val blocks = Dom.blocksStreaming(s.getBytes(UTF_8))
+      blocks.foreach { b =>
+        // the pre-r6b definition, recomputed from the text
+        val scan = if (b.text.isEmpty) 0 else {
+          var c = 1; var j = 0
+          while (j < b.text.length) {
+            if (b.text.charAt(j) == ' ' || b.text.charAt(j) == '\n') c += 1
+            j += 1
+          }
+          c
+        }
+        assert(b.words == scan,
+          s"iter $i: fused words=${b.words} scan=$scan kind=${b.kind} text=${b.text.take(80)}")
+        if (b.nSeps >= 0) checked += 1
+      }
+    }
+    assert(checked > 100, s"vacuity guard: only $checked fused-count blocks seen")
+  }
 }
