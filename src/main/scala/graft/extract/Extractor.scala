@@ -42,14 +42,6 @@ object Extractor {
     * appeared in this document is emitted only once. */
   final val NoRepeatWords: Int = 20
 
-  /** Per-thread output accumulator, reused across documents (r6b: the
-    * per-doc builder's growth copies showed in the allocation profile;
-    * this grows once per thread to the largest output seen, bounded by
-    * MaxOutChars). extractHtml fully consumes it before returning
-    * (toString copies out), so thread reuse is safe. */
-  private val outScratch = new ThreadLocal[java.lang.StringBuilder] {
-    override def initialValue(): java.lang.StringBuilder = new java.lang.StringBuilder(8 * 1024)
-  }
 
   def payloadKind(bytes: Array[Byte]): String = {
     if (bytes.isEmpty) "empty"
@@ -94,7 +86,9 @@ object Extractor {
   }
 
   private def extractHtml(bytes: Array[Byte], mode: ExtractMode): ExtractResult = {
-    val blocks = Dom.blocksStreamingBuf(bytes) // fused: no token list (DiagPhase)
+    // ONE ThreadLocal fetch per document for all kernel scratch (r6b)
+    val ks = graft.html.KernelScratch.get()
+    val blocks = Dom.blocksStreamingBuf(bytes, ks) // fused: no token list (DiagPhase)
     // mode-specific selection predicate (density gate unless the user
     // pointed at a region — reference '[red] OCR:' / box prompts).
     // Takes the already-computed keep verdict so the classifier runs
@@ -111,7 +105,7 @@ object Extractor {
     val format = mode == ExtractMode.Format
     // single pass: select -> repeat-suppress -> render -> span, no
     // intermediate block Vectors (per-doc allocation is the scale cost)
-    val sb = { val b = outScratch.get(); b.setLength(0); b } // thread-reused (r6b)
+    val sb = { val b = ks.outText; b.setLength(0); b } // thread-reused (r6b)
     val spans = Vector.newBuilder[Span]
     var seen: scala.collection.mutable.HashSet[String] = null // lazy: rare
     var kept = 0L; var dropped = 0L; var keptChars = 0L

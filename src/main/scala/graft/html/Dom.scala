@@ -104,45 +104,32 @@ object Dom {
 
   private final val BrSentinel = '\u0001'
 
-  /** Per-thread scratch for normalize: input copy in [0, len), output in
-    * [len, len + outLen). The r6 kernel profile put normalize at ~15% of
-    * html extraction — per-char virtual charAt on the CharSequence plus
-    * per-char StringBuilder appends (capacity/coder checks); a bulk
-    * getChars into a flat array and a primitive write loop removes both.
-    * normalize fully consumes the scratch before returning (the result
-    * String is copied out), so reuse within a thread is safe — same
-    * contract as the tokenizer's decode scratch. */
-  private val normScratch = new ThreadLocal[Array[Char]] {
-    override def initialValue(): Array[Char] = new Array[Char](16 * 1024)
-  }
-
-  /** Per-thread block-text accumulator, reused across documents (r6b:
-    * the per-doc 4 KB StringBuilder still re-grew via byte[] copies on
-    * every large block — growth showed in the allocation profile; a
-    * thread-scratch builder grows once to the thread's max block size).
-    * Safe because a BlockSink fully consumes the builder within one
-    * blocks()/blocksStreaming() call (every block's text is copied out
-    * by flush) and sinks are never used interleaved on one thread. */
-  private val sinkTextScratch = new ThreadLocal[java.lang.StringBuilder] {
-    override def initialValue(): java.lang.StringBuilder = new java.lang.StringBuilder(8 * 1024)
-  }
-
   /** Collapse [ \t\n\r\f]+ → ' ', honor BR sentinels as hard newlines;
     * leading/trailing hard newlines are stripped. Single streaming pass
     * (this runs once per block — no regex, no intermediate strings). */
-  private[graft] def normalize(raw: CharSequence): String = normalize(raw, null)
+  private[graft] def normalize(raw: CharSequence): String =
+    normalize(raw, null, KernelScratch.get())
 
   /** `sepsOut(0)`, when non-null, receives the separator (' '/'\n')
     * count of the RETURNED string — computed on the emit branches only
     * (the common write path pays nothing), so `Block.words` needs no
-    * second scan over the text. */
-  private[graft] def normalize(raw: CharSequence, sepsOut: Array[Int]): String = {
+    * second scan over the text. `ks` carries the flat scratch array:
+    * input copy in [0, len), output in [len, len + outLen) — a bulk
+    * getChars plus a primitive write loop instead of per-char virtual
+    * charAt + StringBuilder appends; fully consumed before return, so
+    * per-thread reuse is safe. Passed in by the sink (r6b) because a
+    * ThreadLocal.get per BLOCK was itself hot on executor threads —
+    * Spark threads carry long ThreadLocalMap probe chains, and the
+    * lookup showed at ~5% in the extract-stage profile. */
+  private[graft] def normalize(raw: CharSequence, sepsOut: Array[Int],
+      ks: KernelScratch): String = {
     val len = raw.length
     if (len == 0) { if (sepsOut != null) sepsOut(0) = 0; return "" }
-    var buf = normScratch.get()
+    // copy into the scratch, then run the zero-copy array form over it
+    var buf = ks.normBuf
     if (buf.length < 2 * len) {
       buf = new Array[Char](2 * len + (len >> 1))
-      normScratch.set(buf)
+      ks.normBuf = buf
     }
     raw match {
       case sb: java.lang.StringBuilder => sb.getChars(0, len, buf, 0)
@@ -151,28 +138,48 @@ object Dom {
         var ci = 0
         while (ci < len) { buf(ci) = raw.charAt(ci); ci += 1 }
     }
-    val out = len // output region base
+    normalizeArr(buf, len, sepsOut, ks)
+  }
+
+  /** Zero-copy form (r6b): reads the input chars DIRECTLY from `src`
+    * (the sink's flat accumulator) and writes the collapsed output into
+    * the scratch's norm region — one read pass, one write region, one
+    * final String copy; the old CharSequence form paid an extra full
+    * input copy per block. `src` may alias ks.normBuf's low region
+    * (the CharSequence wrapper above): output writes go to
+    * [src-len, ...) in that case, never below the read cursor. */
+  private[graft] def normalizeArr(src: Array[Char], len: Int,
+      sepsOut: Array[Int], ks: KernelScratch): String = {
+    if (len == 0) { if (sepsOut != null) sepsOut(0) = 0; return "" }
+    var outBuf = ks.normBuf
+    val out = if (src eq outBuf) len else 0 // avoid clobbering aliased input
+    if (outBuf.length < out + len) {
+      outBuf = new Array[Char](out + len + (len >> 1))
+      if (out > 0) System.arraycopy(src, 0, outBuf, 0, len) // re-copy aliased input
+      ks.normBuf = outBuf
+    }
+    val in = if (src eq ks.normBuf) ks.normBuf else src
     var k = 0     // output length
     var seps = 0  // ' ' + '\n' emitted (word separators)
     var ws = false
     var i = 0
     while (i < len) {
-      val c = buf(i)
+      val c = in(i)
       if (c == BrSentinel) {
-        if (k > 0) { buf(out + k) = '\n'; k += 1; seps += 1 } // skip leading hard newlines
+        if (k > 0) { outBuf(out + k) = '\n'; k += 1; seps += 1 } // skip leading hard newlines
         ws = false
       } else if (c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f') {
         ws = true
       } else {
-        if (ws && k > 0 && buf(out + k - 1) != '\n') { buf(out + k) = ' '; k += 1; seps += 1 }
+        if (ws && k > 0 && outBuf(out + k - 1) != '\n') { outBuf(out + k) = ' '; k += 1; seps += 1 }
         ws = false
-        buf(out + k) = c; k += 1
+        outBuf(out + k) = c; k += 1
       }
       i += 1
     }
-    while (k > 0 && buf(out + k - 1) == '\n') { k -= 1; seps -= 1 }
+    while (k > 0 && outBuf(out + k - 1) == '\n') { k -= 1; seps -= 1 }
     if (sepsOut != null) sepsOut(0) = seps
-    new String(buf, out, k)
+    new String(outBuf, out, k)
   }
 
   /** Replay a materialized token list into the block builder — kept for
@@ -206,14 +213,19 @@ object Dom {
 
   /** Buffer variant for the extraction hot loop (r6): skips the
     * Vector conversion; same blocks in the same order. */
-  private[graft] def blocksStreamingBuf(bytes: Array[Byte]): ArrayBuffer[Block] = {
-    val sink = new BlockSink
+  private[graft] def blocksStreamingBuf(bytes: Array[Byte]): ArrayBuffer[Block] =
+    blocksStreamingBuf(bytes, KernelScratch.get())
+
+  private[graft] def blocksStreamingBuf(bytes: Array[Byte],
+      ks: KernelScratch): ArrayBuffer[Block] = {
+    val sink = new BlockSink(ks)
     Html5Tokenizer.stream(bytes, sink)
     sink.resultBuffer()
   }
 
   /** The single block-building state machine, fed by tokenizer events. */
-  final class BlockSink extends Html5Tokenizer.TokenSink {
+  final class BlockSink(ks: KernelScratch) extends Html5Tokenizer.TokenSink {
+    def this() = this(KernelScratch.get())
     private val out = new ArrayBuffer[Block]
 
     private var suppressDepth = 0
@@ -227,8 +239,37 @@ object Dom {
     private var curStyle = ""
     private var curElemStart = 0L
     private var curElemEnd = 0L
-    // thread-scratch, reused across documents (r6b — see sinkTextScratch)
-    private val curText = { val b = sinkTextScratch.get(); b.setLength(0); b }
+    // Flat char accumulator for the current block's text (r6b): a
+    // StringBuilder here paid coder checks (LATIN1/UTF16 inflation) on
+    // every append plus a full getChars copy into normalize's scratch;
+    // the flat array appends with arraycopy and normalize reads it
+    // zero-copy. Thread-scratch, reused across documents.
+    private var tBuf: Array[Char] = ks.sinkBuf
+    private var tLen = 0
+    private def tEnsure(extra: Int): Unit =
+      if (tLen + extra > tBuf.length) {
+        val n = new Array[Char](math.max(tBuf.length * 2, tLen + extra))
+        System.arraycopy(tBuf, 0, n, 0, tLen)
+        tBuf = n; ks.sinkBuf = n
+      }
+    private def tAppend(c: Char): Unit = { tEnsure(1); tBuf(tLen) = c; tLen += 1 }
+    private def tAppend(cs: CharSequence): Unit = cs match {
+      case w: Html5Tokenizer.CharWindow =>
+        val l = w.length
+        tEnsure(l); System.arraycopy(w.arr, w.from, tBuf, tLen, l); tLen += l
+      case str: String =>
+        val l = str.length
+        tEnsure(l); str.getChars(0, l, tBuf, tLen); tLen += l
+      case sb: java.lang.StringBuilder =>
+        val l = sb.length
+        tEnsure(l); sb.getChars(0, l, tBuf, tLen); tLen += l
+      case _ =>
+        val l = cs.length
+        tEnsure(l)
+        var i = 0
+        while (i < l) { tBuf(tLen + i) = cs.charAt(i); i += 1 }
+        tLen += l
+    }
     private var curLink = 0
     private var spanStart = -1L
     private var spanEnd = -1L
@@ -250,29 +291,27 @@ object Dom {
     private def flush(elemEnd: Long): Unit = {
       val text =
         if (curPre) {
-          // one copy + one in-place scan (r6) — was toString + substring
-          // + replace, up to three copies and two scans per pre block;
-          // the scan also counts separators (r6b: fused Block.words)
-          val len = curText.length
-          val chars = new Array[Char](len)
-          curText.getChars(0, len, chars, 0)
-          val from = if (len > 0 && chars(0) == '\n') 1 else 0
+          // in-place sentinel scan over the flat accumulator (r6b: no
+          // copy at all before the final String); the scan also counts
+          // separators (fused Block.words)
+          val len = tLen
+          val from = if (len > 0 && tBuf(0) == '\n') 1 else 0
           var seps = 0
           var i = from
           while (i < len) {
-            if (chars(i) == BrSentinel) chars(i) = '\n'
-            if (chars(i) == ' ' || chars(i) == '\n') seps += 1
+            if (tBuf(i) == BrSentinel) tBuf(i) = '\n'
+            if (tBuf(i) == ' ' || tBuf(i) == '\n') seps += 1
             i += 1
           }
           sepsBox(0) = seps
-          new String(chars, from, len - from)
-        } else normalize(curText, sepsBox)
+          new String(tBuf, from, len - from)
+        } else normalizeArr(tBuf, tLen, sepsBox, ks)
       if (text.nonEmpty) {
         out += Block(curKind, text, Vector.empty, curCls, curStyle, curLink,
           text.length, boilerDepth > 0, spanStart, spanEnd, curElemStart,
           if (elemEnd > 0) elemEnd else spanEnd, nSeps = sepsBox(0))
       }
-      curText.setLength(0); curLink = 0; spanStart = -1L; spanEnd = -1L
+      tLen = 0; curLink = 0; spanStart = -1L; spanEnd = -1L
     }
 
     private def startBlock(kind: String, cls: String, style: String, elemStart: Long): Unit = {
@@ -321,7 +360,7 @@ object Dom {
               case _                              => ()
             }
           } else if (name == "br") {
-            curText.append(BrSentinel)
+            tAppend(BrSentinel)
           } else if (name == "a") {
             linkDepth += 1
             // links never nest in practice; guard runaway depth
@@ -385,7 +424,7 @@ object Dom {
               }
             }
           } else {
-            Html5Tokenizer.appendTo(curText, cs)
+            tAppend(cs)
             if (linkDepth > 0) curLink += cs.length
             if (hasNonWs(cs)) {
               if (spanStart < 0) spanStart = startByte.toLong
