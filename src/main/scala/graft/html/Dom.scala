@@ -226,6 +226,13 @@ object Dom {
   /** The single block-building state machine, fed by tokenizer events. */
   final class BlockSink(ks: KernelScratch) extends Html5Tokenizer.TokenSink {
     def this() = this(KernelScratch.get())
+
+    /** The sink reads attributes only on table (class) and block-start
+      * tags (class/style via startBlock) — inline tags (a/span/b/img,
+      * which carry most crawl-HTML attributes, href above all) skip
+      * attr string construction in the tokenizer entirely (r6b). */
+    override def wantsAttrs(name: String): Boolean =
+      name == "table" || (tagFlags(name) & FBlock) != 0
     private val out = new ArrayBuffer[Block]
 
     private var suppressDepth = 0

@@ -249,6 +249,13 @@ object Html5Tokenizer {
     * builder adapter below is the proof (it reconstructs exactly the old
     * output), and the goldens pin both paths byte-for-byte. */
   trait TokenSink {
+    /** Sinks that never read some tags' attributes can return false to
+      * skip attr STRING construction for those names (r6b) — the
+      * tokenizer still scans past the attributes with the identical
+      * state machine (quote rules, '>' detection, positions), it only
+      * skips building the name/value strings and the list. Default:
+      * parse everything (the token-list path and attr-reading sinks). */
+    def wantsAttrs(name: String): Boolean = true
     def tagOpen(t: TagOpen): Unit
     def tagClose(name: String, startByte: Int, endByte: Int): Unit
     def text(buf: CharSequence, startByte: Int, endByte: Int): Unit
@@ -453,7 +460,7 @@ object Html5Tokenizer {
               } else { addText("<", i, i + 1); i += 1 } // "</3" is text
             } else if (Character.isLetter(c1)) {
               flushText()
-              val (tok, next) = parseStartTag(s, d, n, i)
+              val (tok, next) = parseStartTag(s, d, n, i, sink)
               sink.tagOpen(tok)
               i = next
               if (!tok.selfClosing) {
@@ -580,12 +587,28 @@ object Html5Tokenizer {
 
   /** Parse `<name attr=... >` starting at `i` (s(i)=='<'). Returns the
     * token and the char index after '>'. Lenient at EOF. */
-  private def parseStartTag(s: Array[Char], d: Decoded, n: Int, i0: Int): (TagOpen, Int) = {
+  /** ASCII fast paths — exact-equivalent to the Character methods for
+    * c < 128 (r6b: the virtual CharacterData dispatch showed in the
+    * per-tag scan profile); non-ASCII falls through to the JDK. */
+  @inline private def isWs(c: Char): Boolean =
+    if (c < 128) c == ' ' || (c >= 9 && c <= 13) || (c >= 28 && c <= 31)
+    else Character.isWhitespace(c)
+  @inline private def isLetterOrDigitF(c: Char): Boolean =
+    if (c < 128) (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9')
+    else Character.isLetterOrDigit(c)
+
+  private def parseStartTag(s: Array[Char], d: Decoded, n: Int, i0: Int,
+      sink: TokenSink): (TagOpen, Int) = {
     @inline def off(i: Int): Int = d.off(i)
     var i = i0 + 1
     val nameStart = i
-    while (i < n && (Character.isLetterOrDigit(s(i)) || s(i) == '-' || s(i) == ':')) i += 1
+    while (i < n && (isLetterOrDigitF(s(i)) || s(i) == '-' || s(i) == ':')) i += 1
     val name = lowerString(s, nameStart, i - nameStart)
+    // r6b: sinks that never read this tag's attributes (BlockSink on
+    // inline tags — a/span/b/img carry the bulk of crawl attrs) skip
+    // the name/value string building and entity decode entirely; the
+    // scan movement below is IDENTICAL either way.
+    val want = sink == null || sink.wantsAttrs(name)
     // r6: the builder is allocated only when a first attribute appears —
     // most tags in crawl HTML carry none, and the ListBuffer-per-tag
     // allocation showed in the kernel profile
@@ -593,7 +616,7 @@ object Html5Tokenizer {
     var selfClosing = false
     var done = false
     while (!done && i < n) {
-      while (i < n && Character.isWhitespace(s(i))) i += 1
+      while (i < n && isWs(s(i))) i += 1
       if (i >= n) done = true
       else if (s(i) == '>') { i += 1; done = true }
       else if (s(i) == '/') {
@@ -602,26 +625,26 @@ object Html5Tokenizer {
       } else {
         // attribute name
         val as = i
-        while (i < n && !Character.isWhitespace(s(i)) && s(i) != '=' && s(i) != '>' && s(i) != '/') i += 1
-        val aname = lowerString(s, as, i - as)
-        while (i < n && Character.isWhitespace(s(i))) i += 1
+        while (i < n && !isWs(s(i)) && s(i) != '=' && s(i) != '>' && s(i) != '/') i += 1
+        val aname = if (want) lowerString(s, as, i - as) else null
+        while (i < n && isWs(s(i))) i += 1
         var avalue = ""
         if (i < n && s(i) == '=') {
           i += 1
-          while (i < n && Character.isWhitespace(s(i))) i += 1
+          while (i < n && isWs(s(i))) i += 1
           if (i < n && (s(i) == '"' || s(i) == '\'')) {
             val q = s(i); i += 1
             val vs = i
             while (i < n && s(i) != q) i += 1
-            avalue = decodeEntities(new String(s, vs, i - vs))
+            if (want) avalue = decodeEntities(new String(s, vs, i - vs))
             if (i < n) i += 1
           } else {
             val vs = i
-            while (i < n && !Character.isWhitespace(s(i)) && s(i) != '>') i += 1
-            avalue = decodeEntities(new String(s, vs, i - vs))
+            while (i < n && !isWs(s(i)) && s(i) != '>') i += 1
+            if (want) avalue = decodeEntities(new String(s, vs, i - vs))
           }
         }
-        if (aname.nonEmpty) {
+        if (want && aname.nonEmpty) {
           if (attrs == null) attrs = List.newBuilder[(String, String)]
           attrs += (aname -> avalue)
         }
