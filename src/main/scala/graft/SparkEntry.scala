@@ -1192,10 +1192,18 @@ object SparkEntry {
       // absorbs mega-terms map-side; ranking is the bounded TopKAgg,
       // not a per-query window sort.
       import s.implicits._
+      // r6b: dl == size(split(text, " ")) == spaces + 1 EXACTLY (Spark
+      // split keeps trailing empty segments, so every single-space
+      // match adds one segment) — computed by char counting
+      // (length - length(translate)) instead of materializing the
+      // regex-split array. The corpus-stats branch previously re-ran
+      // the full split of every document just to take the array's
+      // size (guide §1.2: don't compute things you throw away); now
+      // only the tf branch splits, once.
       val docs = t(s, dir, "documents")
-        .select(col("doc_id").cast("long").as("doc_id"),
-          split(col("text"), " ").as("toks"))
-        .select(col("doc_id"), col("toks"), size(col("toks")).cast("long").as("dl"))
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"),
+          (length(col("text")) - length(translate(col("text"), " ", "")) + 1)
+            .cast("long").as("dl"))
       val queryTerms = Seq((1L, "spark", 1), (1L, "window", 2),
         (2L, "merge", 1), (2L, "key", 2), (3L, "vector", 1), (3L, "batch", 2))
         .toDF("query_id", "term", "tidx")
@@ -1211,7 +1219,8 @@ object SparkEntry {
       // CodegenFallback, and the interpreted per-element path measured
       // slower than explode + codegen filter.
       val vocabTerms: Seq[Any] = Seq("spark", "window", "merge", "key", "vector", "batch")
-      val tf = docs.select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      val tf = docs.select(col("doc_id"), col("dl"),
+          explode(split(col("text"), " ")).as("term"))
         .filter(col("term").isin(vocabTerms: _*))
         .groupBy(col("doc_id"), col("term"))
         .agg(count(lit(1)).cast("long").as("tf"), first(col("dl")).as("dl"))
