@@ -104,6 +104,18 @@ object Dom {
 
   private final val BrSentinel = '\u0001'
 
+  // r6b: char-class table for normalizeArr's inner loop — one bounds
+  // check + load + compare on the common (regular-char) path instead
+  // of the sentinel + five whitespace comparisons. 0=regular, 1=ws,
+  // 2=BR sentinel; chars >= 256 are always regular (the ws set and the
+  // sentinel are all < 256).
+  private val normCls: Array[Byte] = {
+    val t = new Array[Byte](256)
+    t(' ') = 1; t('\t') = 1; t('\n') = 1; t('\r') = 1; t('\f') = 1
+    t(BrSentinel) = 2
+    t
+  }
+
   /** Collapse [ \t\n\r\f]+ → ' ', honor BR sentinels as hard newlines;
     * leading/trailing hard newlines are stripped. Single streaming pass
     * (this runs once per block — no regex, no intermediate strings). */
@@ -165,15 +177,16 @@ object Dom {
     var i = 0
     while (i < len) {
       val c = in(i)
-      if (c == BrSentinel) {
-        if (k > 0) { outBuf(out + k) = '\n'; k += 1; seps += 1 } // skip leading hard newlines
-        ws = false
-      } else if (c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f') {
-        ws = true
-      } else {
+      val cls = if (c < 256) normCls(c) else 0
+      if (cls == 0) {
         if (ws && k > 0 && outBuf(out + k - 1) != '\n') { outBuf(out + k) = ' '; k += 1; seps += 1 }
         ws = false
         outBuf(out + k) = c; k += 1
+      } else if (cls == 1) {
+        ws = true
+      } else { // BR sentinel
+        if (k > 0) { outBuf(out + k) = '\n'; k += 1; seps += 1 } // skip leading hard newlines
+        ws = false
       }
       i += 1
     }

@@ -265,7 +265,8 @@ object Html5Tokenizer {
 
   /** Tokenize straight into a sink — decode + single scan, no token list. */
   def stream(bytes: Array[Byte], sink: TokenSink): Unit =
-    streamDecoded(decodeImpl(bytes, sniffCharset(bytes), reuse = true), sink)
+    streamDecoded(decodeImpl(bytes, sniffCharset(bytes), reuse = true), sink,
+      KernelScratch.get())
 
   def tokenizeDecoded(d: Decoded): scala.collection.immutable.ArraySeq[HtmlToken] = {
     val out = Array.newBuilder[HtmlToken]
@@ -283,7 +284,10 @@ object Html5Tokenizer {
     scala.collection.immutable.ArraySeq.unsafeWrapArray(out.result())
   }
 
-  def streamDecoded(d: Decoded, sink: TokenSink): Unit = {
+  def streamDecoded(d: Decoded, sink: TokenSink): Unit =
+    streamDecoded(d, sink, KernelScratch.get())
+
+  private[html] def streamDecoded(d: Decoded, sink: TokenSink, ks: KernelScratch): Unit = {
     val s = d.chars
     val identity = d.identityOffs
     val bo = d.byteOff
@@ -296,7 +300,7 @@ object Html5Tokenizer {
     // is emitted as a window view straight over the decode buffer
     // (rawFrom/rawUntil pending below). Multi-segment runs materialize
     // the pending segment first and fall back to the builder path.
-    val text = new java.lang.StringBuilder
+    val text = { val b = ks.tokText; b.setLength(0); b } // thread-scratch (r6b)
     val window = new CharWindow(s)
     var rawFrom = -1   // pending not-yet-copied raw segment
     var rawUntil = -1

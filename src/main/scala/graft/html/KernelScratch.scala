@@ -24,6 +24,10 @@ final class KernelScratch {
   var sinkBuf: Array[Char] = new Array[Char](8 * 1024)
   /** Extractor's output accumulator. */
   val outText: java.lang.StringBuilder = new java.lang.StringBuilder(8 * 1024)
+  /** Tokenizer's multi-segment text fallback builder (entities, CDATA
+    * splices) — previously a default-capacity builder allocated per
+    * document, growing by byte[] copies on entity-heavy docs. */
+  val tokText: java.lang.StringBuilder = new java.lang.StringBuilder(4 * 1024)
 }
 
 object KernelScratch {
